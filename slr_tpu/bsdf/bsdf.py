@@ -1,0 +1,301 @@
+"""Aggregate BSDF over material lobe tables — the MultiBSDF of the TPU build.
+
+The reference wraps per-hit, arena-allocated BSDF closures behind virtual
+dispatch and combines up to 4 of them with one-sample MIS in MultiBSDF
+(libSLR/BSDFs/MultiBSDF.cpp:20-129). Here the whole wavefront's lobes live in
+a `LobeBatch` of shape (R, L) and every kind is evaluated branchlessly with
+masks (compute-all-select); the per-ray lobe pick, combined PDF, summed fs and
+shading-normal correction reproduce MultiBSDF + the BSDF wrapper semantics
+(directional_distribution_functions.h:231-267).
+
+Emission follows DiffuseEDF: Le = emittance / pi on the shading-upper side
+(basic_EDFs.cpp:19-23, DiffuseEmission.cpp:14-16).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.math3d import Array
+from ..scene.textures import (
+    eval_float_texture,
+    eval_float_texture_default1,
+    eval_spectrum_texture,
+)
+from ..scene.types import FlatScene, LobeKind, Materials
+from ..spectrum.rgb import importance
+from . import lobes as lb_mod
+from .lobes import LobeBatch, SampleOut
+
+
+class BSDFSampleResult(NamedTuple):
+    wi: Array        # (R, 3) shading-frame sampled direction
+    fs: Array        # (R, S) with sn-correction applied
+    pdf: Array       # (R,)
+    is_delta: Array  # (R,) bool
+    dispersive: Array  # (R,) bool: hero-collapse happened (glass transmission)
+
+
+def gather_lobes(scene: FlatScene, mat_id: Array, uv: Array,
+                 wpos: Array | None = None) -> LobeBatch:
+    """Evaluate all material textures at the hits: (R,) mat ids -> (R, L) lobes.
+
+    Counterpart of SurfaceMaterial::getBSDF texture evaluation + closure
+    construction (libSLR/Core/surface_material.h:22, basic_SurfaceMaterials.cpp).
+    The lobe weight texture (mix ratios) is folded into s0, matching the
+    reference's `scale` argument threading through getBSDF.
+    """
+    mats = scene.materials
+    kind = mats.lobe_kind[mat_id]          # (R, L)
+    stex_ids = mats.lobe_stex[mat_id]      # (R, L, 3)
+    ftex_ids = mats.lobe_ftex[mat_id]      # (R, L, 2)
+    wtex_ids = mats.lobe_wtex[mat_id]      # (R, L)
+
+    r, l = kind.shape
+
+    def ev_s(ids: Array) -> Array:
+        flat = eval_spectrum_texture(
+            scene.stex,
+            ids.reshape(-1),
+            jnp.broadcast_to(uv[:, None, :], (r, l, 2)).reshape(-1, 2),
+            None if wpos is None
+            else jnp.broadcast_to(wpos[:, None, :], (r, l, 3)).reshape(-1, 3),
+        )
+        return flat.reshape(r, l, -1)
+
+    def ev_f(ids: Array, default1: bool = False) -> Array:
+        fn = eval_float_texture_default1 if default1 else eval_float_texture
+        flat = fn(
+            scene.ftex,
+            ids.reshape(-1),
+            jnp.broadcast_to(uv[:, None, :], (r, l, 2)).reshape(-1, 2),
+        )
+        return flat.reshape(r, l)
+
+    s0 = ev_s(stex_ids[..., 0])
+    s1 = ev_s(stex_ids[..., 1])
+    s2 = ev_s(stex_ids[..., 2])
+    f0 = ev_f(ftex_ids[..., 0])
+    f1 = ev_f(ftex_ids[..., 1])
+    wmul = ev_f(wtex_ids, default1=True)
+    s0 = s0 * wmul[..., None]
+    return LobeBatch(kind=kind, s0=s0, s1=s1, s2=s2, f0=f0, f1=f1)
+
+
+def _is_kind(kind: Array, k: LobeKind) -> Array:
+    return kind == jnp.int32(int(k))
+
+
+def lobe_weights(lobes: LobeBatch, wo: Array, hero: Array) -> Array:
+    """Per-lobe sampling weights (R, L) — each kind's weightInternal."""
+    wo_b = wo[:, None, :]
+    hero_b = jnp.broadcast_to(hero[:, None], lobes.kind.shape)
+    w = jnp.zeros(lobes.kind.shape, jnp.float32)
+    diffuse_like = (
+        _is_kind(lobes.kind, LobeKind.LAMBERT)
+        | _is_kind(lobes.kind, LobeKind.OREN_NAYAR)
+    )
+    w = jnp.where(diffuse_like, importance(lobes.s0, hero_b), w)
+    w = jnp.where(
+        _is_kind(lobes.kind, LobeKind.SPECULAR_REFLECTION),
+        lb_mod.specular_reflection_weight(lobes, wo_b, hero_b),
+        w,
+    )
+    w = jnp.where(
+        _is_kind(lobes.kind, LobeKind.SPECULAR_SCATTERING),
+        lb_mod.specular_scattering_weight(lobes, wo_b, hero_b),
+        w,
+    )
+    return jnp.maximum(w, 0.0)
+
+
+def _eval_internal_all(lobes: LobeBatch, wo: Array, wi: Array) -> Array:
+    """Internal fs per lobe: (R, L, S). Delta lobes evaluate to zero."""
+    wo_b = jnp.broadcast_to(wo[:, None, :], lobes.kind.shape + (3,))
+    wi_b = jnp.broadcast_to(wi[:, None, :], lobes.kind.shape + (3,))
+    fs = jnp.zeros(lobes.s0.shape, jnp.float32)
+    fs = jnp.where(
+        _is_kind(lobes.kind, LobeKind.LAMBERT)[..., None],
+        lb_mod.lambert_eval(lobes, wo_b, wi_b),
+        fs,
+    )
+    fs = jnp.where(
+        _is_kind(lobes.kind, LobeKind.OREN_NAYAR)[..., None],
+        lb_mod.oren_nayar_eval(lobes, wo_b, wi_b),
+        fs,
+    )
+    return fs
+
+
+def _pdf_internal_all(lobes: LobeBatch, wo: Array, wi: Array) -> Array:
+    """Internal pdf per lobe: (R, L). Delta lobes have zero pdf."""
+    wo_b = jnp.broadcast_to(wo[:, None, :], lobes.kind.shape + (3,))
+    wi_b = jnp.broadcast_to(wi[:, None, :], lobes.kind.shape + (3,))
+    pdf = jnp.zeros(lobes.kind.shape, jnp.float32)
+    cosine_like = (
+        _is_kind(lobes.kind, LobeKind.LAMBERT)
+        | _is_kind(lobes.kind, LobeKind.OREN_NAYAR)
+    )
+    pdf = jnp.where(cosine_like, lb_mod.lambert_pdf(lobes, wo_b, wi_b), pdf)
+    return pdf
+
+
+def _side_match(kind: Array, wo: Array, wi: Array, gn: Array) -> Array:
+    """Geometric side test (BSDF::sideTest, h:209-212): a lobe contributes only
+    if its reflection/transmission type matches the geometric side of wi."""
+    reflect = (
+        jnp.sum(wo * gn, axis=-1) * jnp.sum(wi * gn, axis=-1) > 0.0
+    )[:, None]
+    refl_only = jnp.zeros(kind.shape, bool)
+    for k in lb_mod.REFLECTION_ONLY:
+        refl_only = refl_only | _is_kind(kind, k)
+    scatter = (
+        _is_kind(kind, LobeKind.SPECULAR_SCATTERING)
+        | _is_kind(kind, LobeKind.MICROFACET_SCATTERING)
+    )
+    return jnp.where(refl_only, reflect, scatter)
+
+
+def _sn_correction(wi: Array, gn: Array) -> Array:
+    """Veach shading-normal correction |wi.z| / |dot(wi, gN_sn)| (h:235-237),
+    non-adjoint (radiance transport)."""
+    d = jnp.abs(jnp.sum(wi * gn, axis=-1))
+    return jnp.abs(wi[..., 2]) / jnp.maximum(d, 1e-6)
+
+
+def bsdf_has_nondelta(lobes: LobeBatch) -> Array:
+    """(R,) bool — any non-delta lobe present (BSDF::hasNonDelta)."""
+    nondelta = lobes.kind != jnp.int32(int(LobeKind.NONE))
+    for k in lb_mod.DELTA_KINDS:
+        nondelta = nondelta & jnp.logical_not(_is_kind(lobes.kind, k))
+    return jnp.any(nondelta, axis=-1)
+
+
+def bsdf_evaluate(lobes: LobeBatch, wo: Array, wi: Array, gn: Array,
+                  hero: Array) -> Array:
+    """Full evaluate with side test and sn-correction. Returns (R, S)."""
+    match = _side_match(lobes.kind, wo, wi, gn)
+    fs = jnp.sum(
+        jnp.where(match[..., None], _eval_internal_all(lobes, wo, wi), 0.0), axis=1
+    )
+    return fs * _sn_correction(wi, gn)[..., None]
+
+
+def bsdf_pdf(lobes: LobeBatch, wo: Array, wi: Array, gn: Array,
+             hero: Array) -> Array:
+    """Weighted one-sample-MIS pdf over lobes (MultiBSDF evaluatePDFInternal)."""
+    w = lobe_weights(lobes, wo, hero)
+    sum_w = jnp.sum(w, axis=-1)
+    pdfs = _pdf_internal_all(lobes, wo, wi)
+    pdf = jnp.sum(pdfs * w, axis=-1) / jnp.maximum(sum_w, 1e-30)
+    return jnp.where(sum_w > 0, pdf, 0.0)
+
+
+def bsdf_sample(
+    lobes: LobeBatch,
+    wo: Array,
+    gn: Array,
+    hero: Array,
+    wl_selected: Array,
+    u_comp: Array,
+    u0: Array,
+    u1: Array,
+) -> BSDFSampleResult:
+    """MultiBSDF one-sample MIS sampling (MultiBSDF.cpp:20-59).
+
+    wl_selected: (R,) bool — hero wavelength already collapsed upstream; a
+    glass transmission when it is False reports `dispersive=True` so the
+    caller divides the pdf by S and sets the flag (PathTracingRenderer.cpp
+    :211-214 semantics).
+    """
+    r, l = lobes.kind.shape
+    w = lobe_weights(lobes, wo, hero)  # (R, L)
+    sum_w = jnp.sum(w, axis=-1)
+    cdf = jnp.cumsum(w, axis=-1)
+    target = u_comp * sum_w
+    idx = jnp.minimum(
+        jnp.sum((cdf <= target[:, None]).astype(jnp.int32), axis=-1), l - 1
+    )
+    base = jnp.where(idx > 0, jnp.take_along_axis(cdf, jnp.maximum(idx - 1, 0)[:, None], axis=-1)[:, 0], 0.0)
+    w_sel = jnp.take_along_axis(w, idx[:, None], axis=-1)[:, 0]
+    u_remap = jnp.clip((target - base) / jnp.maximum(w_sel, 1e-30), 0.0, 1.0 - 1e-7)
+
+    picked = LobeBatch(
+        kind=jnp.take_along_axis(lobes.kind, idx[:, None], axis=-1)[:, 0],
+        s0=jnp.take_along_axis(lobes.s0, idx[:, None, None], axis=1)[:, 0],
+        s1=jnp.take_along_axis(lobes.s1, idx[:, None, None], axis=1)[:, 0],
+        s2=jnp.take_along_axis(lobes.s2, idx[:, None, None], axis=1)[:, 0],
+        f0=jnp.take_along_axis(lobes.f0, idx[:, None], axis=-1)[:, 0],
+        f1=jnp.take_along_axis(lobes.f1, idx[:, None], axis=-1)[:, 0],
+    )
+    front = jnp.sum(wo * gn, axis=-1) > 0.0
+
+    # Sample every kind, select by the picked lobe's kind.
+    out_lam = lb_mod.lambert_sample(picked, wo, front, u0, u1)
+    out_on = lb_mod.oren_nayar_sample(picked, wo, front, u0, u1)
+    out_sr = lb_mod.specular_reflection_sample(picked, wo)
+    out_ss = lb_mod.specular_scattering_sample(picked, wo, hero, u_remap)
+
+    def sel(field: str) -> Array:
+        base_v = getattr(out_lam, field)
+        v = base_v
+        for kind_enum, out in (
+            (LobeKind.OREN_NAYAR, out_on),
+            (LobeKind.SPECULAR_REFLECTION, out_sr),
+            (LobeKind.SPECULAR_SCATTERING, out_ss),
+        ):
+            mask = _is_kind(picked.kind, kind_enum)
+            if v.ndim > mask.ndim:
+                mask = mask[..., None]
+            v = jnp.where(mask, getattr(out, field), v)
+        return v
+
+    wi = sel("wi")
+    pdf_sel = sel("pdf")
+    fs_sel = sel("fs")
+    is_delta = sel("is_delta")
+    is_trans = sel("is_transmission")
+
+    # Combined pdf & fs for non-delta picks (MultiBSDF.cpp:35-56).
+    pdf = pdf_sel * w_sel
+    pdfs_all = _pdf_internal_all(lobes, wo, wi)
+    pdf_others = jnp.sum(pdfs_all * w, axis=-1) - jnp.take_along_axis(
+        pdfs_all, idx[:, None], axis=-1
+    )[:, 0] * w_sel
+    pdf = jnp.where(is_delta, pdf, pdf + pdf_others)
+    pdf = pdf / jnp.maximum(sum_w, 1e-30)
+
+    match = _side_match(lobes.kind, wo, wi, gn)
+    fs_sum = jnp.sum(
+        jnp.where(match[..., None], _eval_internal_all(lobes, wo, wi), 0.0), axis=1
+    )
+    fs = jnp.where(is_delta[..., None], fs_sel, fs_sum)
+
+    ok = (sum_w > 0) & (pdf_sel > 0)
+    pdf = jnp.where(ok, pdf, 0.0)
+    fs = jnp.where(ok[..., None], fs, 0.0)
+
+    fs = fs * _sn_correction(wi, gn)[..., None]
+    dispersive = is_trans & jnp.logical_not(wl_selected) & _is_kind(
+        picked.kind, LobeKind.SPECULAR_SCATTERING
+    )
+    return BSDFSampleResult(wi=wi, fs=fs, pdf=pdf, is_delta=is_delta,
+                            dispersive=dispersive)
+
+
+def emitted_radiance(scene: FlatScene, mat_id: Array, uv: Array,
+                     cos_out: Array) -> Array:
+    """Le = emittance * DiffuseEDF (1/pi on the emitting side). (R, S).
+
+    cos_out: dot(dir_out, shading normal) at the emitter."""
+    emit_tex = scene.materials.emit_stex[mat_id]
+    m = eval_spectrum_texture(scene.stex, emit_tex, uv)
+    le = m * (1.0 / jnp.pi)
+    visible = (cos_out > 0.0) & (emit_tex >= 0)
+    return jnp.where(visible[..., None], le, 0.0)
+
+
+def is_emissive(mats: Materials, mat_id: Array) -> Array:
+    return mats.emit_stex[mat_id] >= 0

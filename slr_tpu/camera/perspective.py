@@ -1,0 +1,87 @@
+"""Thin-lens perspective camera ray generation.
+
+Reference: libSLR/Cameras/PerspectiveCamera.{h,cpp} — lens position sampling
+on a concentric disk (areaPDF = 1/(pi r^2)), image-plane direction through the
+focus plane with PDF = d_img^2 / (cos^3 * A_img), and the default sensor
+sensitivity 1/(pi r^2) (PerspectiveCamera.cpp:15-57, :63-99).
+
+Camera space: right-handed, looking down +z (the scene DSL applies a
+rotateY(pi) on top for SLR-style cameras).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..core.math3d import Array, normalize, transform_point, transform_vector
+from ..core.sampling import concentric_sample_disk
+from ..scene.types import Camera
+
+
+class CameraRays(NamedTuple):
+    o: Array        # (R, 3) world-space origins
+    d: Array        # (R, 3) world-space directions
+    weight: Array   # (R,) We0*We1*cos / (areaPDF * dirPDF); spectral-flat
+
+
+def camera_derived(cam: Camera):
+    op_height = 2.0 * cam.obj_dist * jnp.tan(cam.fovy * 0.5)
+    op_width = op_height * cam.aspect
+    img_area = op_width * op_height * (cam.img_dist / cam.obj_dist) ** 2
+    return op_width, op_height, img_area
+
+
+def sample_camera_rays(
+    cam: Camera,
+    px: Array,
+    py: Array,
+    width: int,
+    height: int,
+    u_lens0: Array,
+    u_lens1: Array,
+) -> CameraRays:
+    """Generate primary rays. px/py: (R,) continuous pixel positions.
+
+    The combined estimator weight reproduces PathTracingRenderer.cpp:126:
+      We0 * We1 * |cos| / (areaPDF * dirPDF)
+    with We0 = We1 = 1, sensitivity folded in at the sensor
+    (default sensitivity exactly cancels the lens area PDF).
+    """
+    op_width, op_height, img_area = camera_derived(cam)
+    lx, ly = concentric_sample_disk(u_lens0, u_lens1)
+    org_local = jnp.stack(
+        [cam.lens_radius * lx, cam.lens_radius * ly, jnp.zeros_like(lx)], axis=-1
+    )
+
+    sx = px / width
+    sy = py / height
+    p_focus = jnp.stack(
+        [
+            op_width * (0.5 - sx),
+            op_height * (0.5 - sy),
+            jnp.broadcast_to(cam.obj_dist, sx.shape),
+        ],
+        axis=-1,
+    )
+    dir_local = normalize(p_focus - org_local)
+    dir_pdf = (cam.img_dist * cam.img_dist) / (
+        dir_local[..., 2] ** 3 * img_area
+    )
+
+    o = transform_point(cam.to_world, org_local)
+    d = transform_vector(cam.to_world, dir_local)
+
+    lens_area_pdf = jnp.where(
+        cam.lens_radius > 0.0,
+        1.0 / (jnp.pi * jnp.maximum(cam.lens_radius, 1e-12) ** 2),
+        1.0,
+    )
+    sensitivity = jnp.where(
+        cam.lens_radius > 0.0,
+        1.0 / (jnp.pi * jnp.maximum(cam.lens_radius, 1e-12) ** 2),
+        1.0,
+    )
+    # weight = sensitivity * cos / (areaPDF * dirPDF); cos = dir_local.z
+    weight = sensitivity * jnp.abs(dir_local[..., 2]) / (lens_area_pdf * dir_pdf)
+    return CameraRays(o=o, d=d, weight=weight)

@@ -1,0 +1,316 @@
+"""Wavefront unidirectional path tracer with NEE + power-heuristic MIS.
+
+Faithful TPU reformulation of the reference estimator
+(libSLR/Renderers/PathTracingRenderer.cpp:137-262):
+
+* per-bounce: NEE with two-level light selection (env vs area, uniform over
+  area lights — SurfaceObject.cpp:431-449), shadow visibility, power-heuristic
+  MIS on both strategies (:195-198, :243-246);
+* BSDF sampling through the MultiBSDF aggregate, dispersive hero-collapse
+  (:211-214), Russian roulette on hero-channel importance (:253-258);
+* implicit emitter hits weighted against the light-sampling pdf (:232-249).
+
+The per-ray `while(true)` loop becomes a masked `lax.fori_loop` over a static
+MAX_DEPTH: the whole wavefront advances one bounce per iteration; terminated
+lanes idle. Randomness is counter-based per (pixel, sample, bounce, decision)
+(core/rng.py), making results independent of wavefront sharding.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..accel.intersect import (
+    RAY_EPSILON,
+    Hit,
+    intersect_brute,
+    resolve_surface_point,
+    sample_triangle_point,
+)
+from ..bsdf.bsdf import (
+    bsdf_evaluate,
+    bsdf_has_nondelta,
+    bsdf_pdf,
+    bsdf_sample,
+    emitted_radiance,
+    gather_lobes,
+    is_emissive,
+)
+from ..camera.perspective import sample_camera_rays
+from ..core import rng
+from ..core.math3d import Array, dot, frame_from_local, frame_to_local, normalize
+from ..core.rng import Decision
+from ..core.sampling import power_heuristic, sample_discrete_1d
+from ..scene.types import FlatScene
+from ..spectrum.rgb import importance
+
+
+def scene_intersect(scene: FlatScene, o: Array, d: Array,
+                    tmin=RAY_EPSILON, tmax=jnp.inf) -> Hit:
+    if scene.bvh is not None:
+        from ..accel.lbvh import intersect_bvh
+
+        return intersect_bvh(scene.geometry, scene.bvh, o, d, tmin, tmax)
+    return intersect_brute(scene.geometry, o, d, tmin, tmax)
+
+
+def test_visibility(scene: FlatScene, p_from: Array, p_to: Array) -> Array:
+    """Shadow test (Scene::testVisibility, SurfaceObject.cpp:417-429).
+    Returns True when mutually visible."""
+    delta = p_to - p_from
+    dist = jnp.linalg.norm(delta, axis=-1)
+    d = delta / jnp.maximum(dist, 1e-20)[..., None]
+    hit = scene_intersect(
+        scene, p_from, d, tmin=RAY_EPSILON, tmax=dist * (1.0 - 1e-3)
+    )
+    return jnp.logical_not(hit.mask)
+
+
+class PathState(NamedTuple):
+    ray_o: Array       # (R, 3)
+    ray_d: Array       # (R, 3)
+    alpha: Array       # (R, S) throughput
+    radiance: Array    # (R, S)
+    active: Array      # (R,) bool
+    hero: Array        # (R,) int32 hero channel
+    wl_selected: Array  # (R,) bool
+    prev_pdf: Array    # (R,) BSDF pdf of the ray (for implicit MIS)
+    prev_delta: Array  # (R,) bool previous bounce was delta
+    init_y: Array      # (R,) initial importance for RR
+
+
+def _select_light(scene: FlatScene, u: Array):
+    """Two-level light pick. Returns (tri (R,), prob (R,), remapped u, is_env)."""
+    env_prob = scene.lights.env_prob
+    is_env = u < env_prob
+    u_area = jnp.clip(
+        (u - env_prob) / jnp.maximum(1.0 - env_prob, 1e-12), 0.0, 1.0 - 1e-7
+    )
+    idx, pmf, _ = sample_discrete_1d(scene.lights.dist, u_area)
+    tri = scene.lights.tri_idx[idx]
+    prob = jnp.where(is_env, env_prob, (1.0 - env_prob) * pmf)
+    return tri, prob, is_env
+
+
+def _area_light_prob(scene: FlatScene) -> Array:
+    """evaluateProb for an area light triangle (uniform pmf over area lights,
+    scaled by the aggregate-vs-env importance split)."""
+    n_lights = scene.lights.tri_idx.shape[0]
+    return (1.0 - scene.lights.env_prob) / n_lights
+
+
+@partial(jax.jit, static_argnames=("max_depth",))
+def trace_radiance(
+    scene: FlatScene,
+    o: Array,
+    d: Array,
+    pixel_id: Array,
+    sample_id: Array,
+    seed,
+    max_depth: int = 16,
+) -> Array:
+    """Estimate radiance for a wavefront of camera rays. Returns (R, S)."""
+    r = o.shape[0]
+    s = scene.stex.value.shape[-1]
+    seed = jnp.asarray(seed, jnp.uint32)
+
+    # Hero channel selection (WavelengthSamples::createWithEqualOffsets; in
+    # RGB mode the hero is one of 3 channels chosen uniformly).
+    u_wl = rng.uniform(seed, pixel_id, sample_id, 0, Decision.WL_SELECT)
+    hero = jnp.minimum((u_wl * s).astype(jnp.int32), s - 1)
+
+    hit = scene_intersect(scene, o, d)
+    sp = resolve_surface_point(scene.geometry, hit, o, d)
+
+    alpha = jnp.ones((r, s), jnp.float32)
+    radiance = jnp.zeros((r, s), jnp.float32)
+
+    # First-hit emitter: no MIS (PathTracingRenderer.cpp:152-156).
+    cos_out = dot(-d, sp.sn)
+    le = emitted_radiance(scene, sp.mat_id, sp.uv, cos_out)
+    radiance = radiance + jnp.where(hit.mask[..., None], alpha * le, 0.0)
+
+    active = hit.mask
+    init_y = importance(alpha, hero)
+
+    state = PathState(
+        ray_o=o,
+        ray_d=d,
+        alpha=alpha,
+        radiance=radiance,
+        active=active,
+        hero=hero,
+        wl_selected=jnp.zeros((r,), bool),
+        prev_pdf=jnp.zeros((r,), jnp.float32),
+        prev_delta=jnp.zeros((r,), bool),
+        init_y=init_y,
+    )
+
+    def bounce(b, carry):
+        state, sp = carry
+        bounce_id = jnp.uint32(b + 1)
+
+        wo_world = -state.ray_d
+        # Shading frame at current hits.
+        fx, fy, fz = sp.tangent, sp.bitangent, sp.sn
+        wo = frame_to_local(fx, fy, fz, wo_world)
+        gn_sn = frame_to_local(fx, fy, fz, sp.gn)
+
+        lobes = gather_lobes(scene, sp.mat_id, sp.uv, sp.p)
+        nondelta = bsdf_has_nondelta(lobes)
+
+        # --- Next-event estimation -------------------------------------
+        u_sel = rng.uniform(seed, pixel_id, sample_id, bounce_id, Decision.LIGHT_SELECT)
+        lu0 = rng.uniform(seed, pixel_id, sample_id, bounce_id, Decision.LIGHT_POS_U)
+        lu1 = rng.uniform(seed, pixel_id, sample_id, bounce_id, Decision.LIGHT_POS_V)
+        light_tri, light_prob, is_env = _select_light(scene, u_sel)
+        lp = sample_triangle_point(scene.geometry, light_tri, lu0, lu1)
+
+        vis = test_visibility(scene, sp.p, lp.p)
+        delta_p = lp.p - sp.p
+        dist2 = jnp.maximum(jnp.sum(delta_p * delta_p, axis=-1), 1e-12)
+        shadow_dir = delta_p / jnp.sqrt(dist2)[..., None]
+
+        # EDF at the light point toward the shading point.
+        cos_light_s = dot(-shadow_dir, lp.sn)
+        m_emit = emitted_radiance(scene, lp.mat_id, lp.uv, cos_light_s)
+        le_nee = m_emit  # includes 1/pi and upper-side test
+
+        shadow_dir_sn = frame_to_local(fx, fy, fz, shadow_dir)
+        fs_nee = bsdf_evaluate(lobes, wo, shadow_dir_sn, gn_sn, state.hero)
+        light_pdf = light_prob * lp.area_pdf
+        cos_light = jnp.abs(dot(-shadow_dir, lp.gn))
+        bsdf_pdf_sa = (
+            bsdf_pdf(lobes, wo, shadow_dir_sn, gn_sn, state.hero)
+            * cos_light
+            / dist2
+        )
+        mis_w = power_heuristic(light_pdf, bsdf_pdf_sa)
+        g = jnp.abs(dot(shadow_dir_sn, gn_sn)) * cos_light / dist2
+        contrib_nee = (
+            state.alpha
+            * le_nee
+            * fs_nee
+            * (g * mis_w / jnp.maximum(light_pdf, 1e-30))[..., None]
+        )
+        nee_ok = (
+            state.active & nondelta & vis & (light_pdf > 0) & jnp.logical_not(is_env)
+        )
+        radiance = state.radiance + jnp.where(nee_ok[..., None], contrib_nee, 0.0)
+
+        # --- BSDF sampling ----------------------------------------------
+        uc = rng.uniform(seed, pixel_id, sample_id, bounce_id, Decision.BSDF_COMPONENT)
+        u0 = rng.uniform(seed, pixel_id, sample_id, bounce_id, Decision.BSDF_U)
+        u1 = rng.uniform(seed, pixel_id, sample_id, bounce_id, Decision.BSDF_V)
+        smp = bsdf_sample(lobes, wo, gn_sn, state.hero, state.wl_selected, uc, u0, u1)
+
+        dir_pdf = smp.pdf
+        wl_selected = state.wl_selected | smp.dispersive
+        dir_pdf = jnp.where(smp.dispersive, dir_pdf / s, dir_pdf)
+
+        cos_sn = jnp.abs(dot(smp.wi, gn_sn))
+        new_alpha = state.alpha * smp.fs * (
+            cos_sn / jnp.maximum(dir_pdf, 1e-30)
+        )[..., None]
+        sample_ok = state.active & (dir_pdf > 0) & jnp.logical_not(
+            jnp.all(smp.fs == 0.0, axis=-1)
+        )
+
+        wi_world = frame_from_local(fx, fy, fz, smp.wi)
+        new_o = sp.p
+        new_d = wi_world
+
+        # --- Next intersection ------------------------------------------
+        hit = scene_intersect(scene, new_o, new_d)
+        sp_next = resolve_surface_point(scene.geometry, hit, new_o, new_d)
+        still = sample_ok & hit.mask
+
+        # Implicit emitter hit with MIS (PathTracingRenderer.cpp:232-249).
+        cos_out_n = dot(-new_d, sp_next.sn)
+        le_hit = emitted_radiance(scene, sp_next.mat_id, sp_next.uv, cos_out_n)
+        d2 = jnp.maximum(
+            jnp.sum((sp_next.p - new_o) ** 2, axis=-1), 1e-12
+        )
+        cos_g = jnp.abs(dot(new_d, sp_next.gn))
+        l_prob = _area_light_prob(scene)
+        light_pdf_hit = l_prob * sp_next.area_pdf * d2 / jnp.maximum(cos_g, 1e-12)
+        mis_bsdf = jnp.where(
+            smp.is_delta, 1.0, power_heuristic(dir_pdf, light_pdf_hit)
+        )
+        emissive_hit = still & is_emissive(scene.materials, sp_next.mat_id)
+        radiance = radiance + jnp.where(
+            emissive_hit[..., None], new_alpha * le_hit * mis_bsdf[..., None], 0.0
+        )
+
+        # --- Russian roulette -------------------------------------------
+        cont_p = jnp.minimum(
+            importance(new_alpha, state.hero) / jnp.maximum(state.init_y, 1e-30),
+            1.0,
+        )
+        u_rr = rng.uniform(seed, pixel_id, sample_id, bounce_id, Decision.RR)
+        survive = u_rr < cont_p
+        new_alpha = jnp.where(
+            survive[..., None],
+            new_alpha / jnp.maximum(cont_p, 1e-30)[..., None],
+            new_alpha,
+        )
+        active = still & survive
+
+        new_state = PathState(
+            ray_o=new_o,
+            ray_d=new_d,
+            alpha=jnp.where(active[..., None], new_alpha, state.alpha),
+            radiance=radiance,
+            active=active,
+            hero=state.hero,
+            wl_selected=jnp.where(active, wl_selected, state.wl_selected),
+            prev_pdf=dir_pdf,
+            prev_delta=smp.is_delta,
+            init_y=state.init_y,
+        )
+        return new_state, sp_next
+
+    state, _ = jax.lax.fori_loop(0, max_depth, bounce, (state, sp))
+    return state.radiance
+
+
+def render(
+    scene: FlatScene,
+    width: int,
+    height: int,
+    spp: int,
+    seed: int = 0,
+    max_depth: int = 16,
+    ray_batch: int | None = None,
+) -> Array:
+    """Render an image by accumulating spp sample passes. Returns (H, W, S)
+    of *linear* mean radiance (develop with render/film.py)."""
+    n_pix = width * height
+    pixel_id = jnp.arange(n_pix, dtype=jnp.uint32)
+    px_i = (pixel_id % width).astype(jnp.float32)
+    py_i = (pixel_id // width).astype(jnp.float32)
+    s = scene.stex.value.shape[-1]
+    film = jnp.zeros((n_pix, s), jnp.float32)
+    seed_u = jnp.uint32(seed)
+
+    @jax.jit
+    def one_pass(film, sample_id):
+        jx = rng.uniform(seed_u, pixel_id, sample_id, 0, Decision.PIXEL_X)
+        jy = rng.uniform(seed_u, pixel_id, sample_id, 0, Decision.PIXEL_Y)
+        lx = rng.uniform(seed_u, pixel_id, sample_id, 0, Decision.LENS_U)
+        ly = rng.uniform(seed_u, pixel_id, sample_id, 0, Decision.LENS_V)
+        rays = sample_camera_rays(
+            scene.camera, px_i + jx, py_i + jy, width, height, lx, ly
+        )
+        c = trace_radiance(
+            scene, rays.o, rays.d, pixel_id,
+            jnp.full((n_pix,), sample_id, jnp.uint32), seed_u, max_depth,
+        )
+        return film + rays.weight[..., None] * c
+
+    for i in range(spp):
+        film = one_pass(film, jnp.uint32(i))
+    return (film / spp).reshape(height, width, s)

@@ -1,0 +1,425 @@
+"""Host-side scene builder: authoring API -> FlatScene device arrays.
+
+Counterpart of the reference's build phase: libSLRSceneGraph nodes flattening
+into libSLR render objects (nodes.cpp:110-184, Scene.cpp:28-41). Static
+transforms are baked into vertex buffers exactly as the reference does
+(nodes.cpp:152-171); emissive triangles become the light table with uniform
+importance per light (SingleSurfaceObject::importance == 1, SurfaceObject.cpp
+:69-71). The scene-graph front end (scene/graph.py) and the DSL interpreter
+drive this builder.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core.sampling import build_continuous_2d, build_discrete_1d
+from .types import (
+    BVH,
+    Camera,
+    CameraKind,
+    EnvLight,
+    FlatScene,
+    FloatTextures,
+    FTexKind,
+    Geometry,
+    Lights,
+    LobeKind,
+    Materials,
+    MAX_LOBES,
+    STexKind,
+    SpectrumTextures,
+)
+
+
+@dataclasses.dataclass
+class _STex:
+    kind: int
+    value: np.ndarray          # (S,)
+    value2: np.ndarray         # (S,)
+    image_id: int = -1
+    map_scale: tuple = (1.0, 1.0)
+    map_offset: tuple = (0.0, 0.0)
+
+
+@dataclasses.dataclass
+class _FTex:
+    kind: int
+    value: float = 0.0
+    value2: float = 0.0
+    image_id: int = -1
+    map_scale: tuple = (1.0, 1.0)
+    map_offset: tuple = (0.0, 0.0)
+
+
+@dataclasses.dataclass
+class _Lobe:
+    kind: int
+    stex: tuple = (-1, -1, -1)
+    ftex: tuple = (-1, -1)
+    wtex: int = -1
+
+
+@dataclasses.dataclass
+class _Material:
+    lobes: list
+    emit_stex: int = -1
+
+
+class SceneBuilder:
+    """Accumulates host-side scene data, then `build()`s the device pytree."""
+
+    def __init__(self, spectral_dim: int = 3):
+        self.s = spectral_dim
+        self.stex: list[_STex] = []
+        self.ftex: list[_FTex] = []
+        self.images: list[np.ndarray] = []
+        self.materials: list[_Material] = []
+        self.positions: list[np.ndarray] = []
+        self.normals: list[np.ndarray] = []
+        self.tangents: list[np.ndarray] = []
+        self.uvs: list[np.ndarray] = []
+        self.tri_vidx: list[np.ndarray] = []
+        self.tri_mat: list[np.ndarray] = []
+        self.tri_alpha: list[np.ndarray] = []
+        self._nverts = 0
+        self.camera: Optional[Camera] = None
+        self.env_stex: int = -1
+        self.env_scale: float = 1.0
+
+    # -- textures -----------------------------------------------------------
+    def _spec(self, v) -> np.ndarray:
+        a = np.asarray(v, np.float32).reshape(-1)
+        if a.size == 1:
+            a = np.full((self.s,), a[0], np.float32)
+        assert a.size == self.s, f"expected spectrum dim {self.s}, got {a.size}"
+        return a
+
+    def add_stex_const(self, value) -> int:
+        self.stex.append(_STex(STexKind.CONST, self._spec(value), np.zeros(self.s, np.float32)))
+        return len(self.stex) - 1
+
+    def add_stex_checker(self, v0, v1, map_scale=(1, 1), map_offset=(0, 0)) -> int:
+        self.stex.append(
+            _STex(STexKind.CHECKER, self._spec(v0), self._spec(v1),
+                  map_scale=tuple(map_scale), map_offset=tuple(map_offset))
+        )
+        return len(self.stex) - 1
+
+    def add_stex_voronoi(self, scale: float, brightness: float = 0.8) -> int:
+        v = np.zeros(self.s, np.float32)
+        v[0] = scale
+        v2 = np.zeros(self.s, np.float32)
+        v2[0] = brightness
+        self.stex.append(_STex(STexKind.VORONOI, v, v2))
+        return len(self.stex) - 1
+
+    def add_image(self, img: np.ndarray) -> int:
+        """img: (H, W, 3|4) float32 linear."""
+        img = np.asarray(img, np.float32)
+        if img.shape[-1] == 3:
+            img = np.concatenate([img, np.ones_like(img[..., :1])], axis=-1)
+        self.images.append(img)
+        return len(self.images) - 1
+
+    def add_stex_image(self, image_id: int, scale=1.0, map_scale=(1, 1),
+                       map_offset=(0, 0)) -> int:
+        self.stex.append(
+            _STex(STexKind.IMAGE, self._spec(scale), np.zeros(self.s, np.float32),
+                  image_id=image_id, map_scale=tuple(map_scale),
+                  map_offset=tuple(map_offset))
+        )
+        return len(self.stex) - 1
+
+    def add_ftex_const(self, value: float) -> int:
+        self.ftex.append(_FTex(FTexKind.CONST, float(value)))
+        return len(self.ftex) - 1
+
+    def add_ftex_checker(self, v0: float, v1: float, map_scale=(1, 1),
+                         map_offset=(0, 0)) -> int:
+        self.ftex.append(
+            _FTex(FTexKind.CHECKER, float(v0), float(v1),
+                  map_scale=tuple(map_scale), map_offset=tuple(map_offset))
+        )
+        return len(self.ftex) - 1
+
+    # -- materials ----------------------------------------------------------
+    def _add_material(self, lobes: list, emit_stex: int = -1) -> int:
+        assert len(lobes) <= MAX_LOBES
+        self.materials.append(_Material(lobes=lobes, emit_stex=emit_stex))
+        return len(self.materials) - 1
+
+    def add_matte(self, reflectance_stex: int, sigma_ftex: int = -1) -> int:
+        """reference createSurfaceMaterial("matte", ...) API.cpp:472-640."""
+        if sigma_ftex >= 0:
+            lobe = _Obe = _Lobe(LobeKind.OREN_NAYAR, (reflectance_stex, -1, -1),
+                                (sigma_ftex, -1))
+        else:
+            lobe = _Lobe(LobeKind.LAMBERT, (reflectance_stex, -1, -1))
+        return self._add_material([lobe])
+
+    def add_metal(self, coeff_stex: int, eta_stex: int, k_stex: int) -> int:
+        return self._add_material(
+            [_Lobe(LobeKind.SPECULAR_REFLECTION, (coeff_stex, eta_stex, k_stex))]
+        )
+
+    def add_glass(self, coeff_stex: int, eta_ext_stex: int, eta_int_stex: int) -> int:
+        return self._add_material(
+            [_Lobe(LobeKind.SPECULAR_SCATTERING,
+                   (coeff_stex, eta_ext_stex, eta_int_stex))]
+        )
+
+    def add_microfacet_metal(self, eta_stex: int, k_stex: int, alpha_ftex: int) -> int:
+        return self._add_material(
+            [_Lobe(LobeKind.MICROFACET_REFLECTION, (-1, eta_stex, k_stex),
+                   (alpha_ftex, -1))]
+        )
+
+    def add_microfacet_glass(self, eta_ext_stex: int, eta_int_stex: int,
+                             alpha_ftex: int) -> int:
+        return self._add_material(
+            [_Lobe(LobeKind.MICROFACET_SCATTERING, (-1, eta_ext_stex, eta_int_stex),
+                   (alpha_ftex, -1))]
+        )
+
+    def add_ward(self, reflectance_stex: int, ax_ftex: int, ay_ftex: int) -> int:
+        return self._add_material(
+            [_Lobe(LobeKind.WARD, (reflectance_stex, -1, -1), (ax_ftex, ay_ftex))]
+        )
+
+    def add_ashikhmin(self, rs_stex: int, rd_stex: int, nu_ftex: int,
+                      nv_ftex: int) -> int:
+        return self._add_material(
+            [
+                _Lobe(LobeKind.ASHIKHMIN_SPECULAR, (rs_stex, -1, -1), (nu_ftex, nv_ftex)),
+                _Lobe(LobeKind.ASHIKHMIN_DIFFUSE, (rd_stex, rs_stex, -1)),
+            ]
+        )
+
+    def add_mixed(self, mat0: int, mat1: int, ratio_ftex: int) -> int:
+        """MixedSurfaceMaterial: mat0 * ratio + mat1 * (1 - ratio).
+
+        Requires an inverted ratio texture for mat1; the caller provides
+        `ratio_ftex` evaluated for mat0 and we synthesize the complement via a
+        second float texture when ratio is constant."""
+        m0 = self.materials[mat0]
+        m1 = self.materials[mat1]
+        lobes = []
+        for lb in m0.lobes:
+            lobes.append(dataclasses.replace(lb, wtex=ratio_ftex))
+        # complement ratio texture
+        src = self.ftex[ratio_ftex]
+        assert src.kind == FTexKind.CONST, "mixed with non-const ratio: TODO"
+        inv = self.add_ftex_const(1.0 - src.value)
+        for lb in m1.lobes:
+            lobes.append(dataclasses.replace(lb, wtex=inv))
+        return self._add_material(lobes)
+
+    def add_summed(self, mat0: int, mat1: int) -> int:
+        m0 = self.materials[mat0]
+        m1 = self.materials[mat1]
+        emit = max(m0.emit_stex, m1.emit_stex)
+        return self._add_material(list(m0.lobes) + list(m1.lobes), emit_stex=emit)
+
+    def add_emitter(self, scatter_mat: int, emit_stex: int) -> int:
+        """EmitterSurfaceMaterial = scattering material + emitter property."""
+        m = self.materials[scatter_mat]
+        return self._add_material(list(m.lobes), emit_stex=emit_stex)
+
+    # -- geometry -----------------------------------------------------------
+    def add_mesh(
+        self,
+        positions: np.ndarray,
+        normals: np.ndarray,
+        tangents: np.ndarray,
+        uvs: np.ndarray,
+        tri_vidx: np.ndarray,
+        mat_id: int | np.ndarray,
+        transform: Optional[np.ndarray] = None,
+        alpha_ftex: int = -1,
+    ) -> None:
+        """Append a triangle mesh; bakes `transform` (4x4) into the vertices."""
+        positions = np.asarray(positions, np.float32).reshape(-1, 3)
+        normals = np.asarray(normals, np.float32).reshape(-1, 3)
+        tangents = np.asarray(tangents, np.float32).reshape(-1, 3)
+        uvs = np.asarray(uvs, np.float32).reshape(-1, 2)
+        tri_vidx = np.asarray(tri_vidx, np.int32).reshape(-1, 3)
+        if transform is not None:
+            m = np.asarray(transform, np.float32)
+            positions = positions @ m[:3, :3].T + m[:3, 3]
+            inv = np.linalg.inv(m[:3, :3])
+            normals = normals @ inv  # inverse-transpose
+            norms = np.linalg.norm(normals, axis=-1, keepdims=True)
+            normals = normals / np.maximum(norms, 1e-20)
+            tangents = tangents @ m[:3, :3].T
+            tnorms = np.linalg.norm(tangents, axis=-1, keepdims=True)
+            tangents = tangents / np.maximum(tnorms, 1e-20)
+        n_tris = tri_vidx.shape[0]
+        self.positions.append(positions)
+        self.normals.append(normals)
+        self.tangents.append(tangents)
+        self.uvs.append(uvs)
+        self.tri_vidx.append(tri_vidx + self._nverts)
+        mat = np.broadcast_to(np.asarray(mat_id, np.int32), (n_tris,))
+        self.tri_mat.append(mat.copy())
+        self.tri_alpha.append(np.full((n_tris,), alpha_ftex, np.int32))
+        self._nverts += positions.shape[0]
+
+    # -- camera / environment ----------------------------------------------
+    def set_camera_perspective(self, to_world: np.ndarray, aspect: float,
+                               fovy: float, lens_radius: float = 0.0,
+                               img_dist: float = 1.0, obj_dist: float = 1.0) -> None:
+        self.camera = Camera(
+            kind=CameraKind.PERSPECTIVE,
+            to_world=jnp.asarray(to_world, jnp.float32),
+            aspect=jnp.float32(aspect),
+            fovy=jnp.float32(fovy),
+            lens_radius=jnp.float32(lens_radius),
+            img_dist=jnp.float32(img_dist),
+            obj_dist=jnp.float32(obj_dist),
+            phi_angle=jnp.float32(2 * np.pi),
+            theta_angle=jnp.float32(np.pi),
+        )
+
+    def set_environment(self, stex_id: int, scale: float = 1.0) -> None:
+        self.env_stex = stex_id
+        self.env_scale = float(scale)
+
+    # -- build --------------------------------------------------------------
+    def build(self, use_bvh: bool = True) -> FlatScene:
+        s = self.s
+        assert self.camera is not None, "scene has no camera"
+        assert self.positions, "scene has no geometry"
+        positions = np.concatenate(self.positions)
+        normals = np.concatenate(self.normals)
+        tangents = np.concatenate(self.tangents)
+        uvs = np.concatenate(self.uvs)
+        tri_vidx = np.concatenate(self.tri_vidx)
+        tri_mat = np.concatenate(self.tri_mat)
+        tri_alpha = np.concatenate(self.tri_alpha)
+
+        geom = Geometry(
+            positions=jnp.asarray(positions),
+            normals=jnp.asarray(normals),
+            tangents=jnp.asarray(tangents),
+            uvs=jnp.asarray(uvs),
+            tri_vidx=jnp.asarray(tri_vidx),
+            tri_mat=jnp.asarray(tri_mat),
+            tri_alpha=jnp.asarray(tri_alpha),
+        )
+
+        # Material SoA.
+        m = len(self.materials)
+        lobe_kind = np.zeros((m, MAX_LOBES), np.int32)
+        lobe_stex = np.full((m, MAX_LOBES, 3), -1, np.int32)
+        lobe_ftex = np.full((m, MAX_LOBES, 2), -1, np.int32)
+        lobe_wtex = np.full((m, MAX_LOBES), -1, np.int32)
+        emit_stex = np.full((m,), -1, np.int32)
+        for i, mat in enumerate(self.materials):
+            for j, lb in enumerate(mat.lobes):
+                lobe_kind[i, j] = lb.kind
+                lobe_stex[i, j] = lb.stex
+                lobe_ftex[i, j] = lb.ftex
+                lobe_wtex[i, j] = lb.wtex
+            emit_stex[i] = mat.emit_stex
+        materials = Materials(
+            lobe_kind=jnp.asarray(lobe_kind),
+            lobe_stex=jnp.asarray(lobe_stex),
+            lobe_ftex=jnp.asarray(lobe_ftex),
+            lobe_wtex=jnp.asarray(lobe_wtex),
+            emit_stex=jnp.asarray(emit_stex),
+        )
+
+        # Texture SoA (pad with one dummy row so tables are never empty).
+        stexs = self.stex or [_STex(STexKind.CONST, np.zeros(s, np.float32),
+                                    np.zeros(s, np.float32))]
+        ftexs = self.ftex or [_FTex(FTexKind.CONST)]
+        if self.images:
+            hmax = max(im.shape[0] for im in self.images)
+            wmax = max(im.shape[1] for im in self.images)
+            atlas = np.zeros((len(self.images), hmax, wmax, 4), np.float32)
+            image_hw = np.zeros((len(self.images), 2), np.int32)
+            for i, im in enumerate(self.images):
+                atlas[i, : im.shape[0], : im.shape[1]] = im
+                image_hw[i] = (im.shape[0], im.shape[1])
+        else:
+            atlas = np.zeros((0, 1, 1, 4), np.float32)
+            image_hw = np.zeros((0, 2), np.int32)
+        stex = SpectrumTextures(
+            kind=jnp.asarray([t.kind for t in stexs], jnp.int32),
+            value=jnp.asarray(np.stack([t.value for t in stexs])),
+            value2=jnp.asarray(np.stack([t.value2 for t in stexs])),
+            image_id=jnp.asarray([t.image_id for t in stexs], jnp.int32),
+            map_scale=jnp.asarray([t.map_scale for t in stexs], jnp.float32),
+            map_offset=jnp.asarray([t.map_offset for t in stexs], jnp.float32),
+            images=jnp.asarray(atlas),
+            image_hw=jnp.asarray(image_hw),
+        )
+        ftex = FloatTextures(
+            kind=jnp.asarray([t.kind for t in ftexs], jnp.int32),
+            value=jnp.asarray([t.value for t in ftexs], jnp.float32),
+            value2=jnp.asarray([t.value2 for t in ftexs], jnp.float32),
+            image_id=jnp.asarray([t.image_id for t in ftexs], jnp.int32),
+            map_scale=jnp.asarray([t.map_scale for t in ftexs], jnp.float32),
+            map_offset=jnp.asarray([t.map_offset for t in ftexs], jnp.float32),
+        )
+
+        # Light table: every emissive triangle is one light with importance 1
+        # (SurfaceObject.cpp:69-71); env sphere adds importance 1 if present.
+        emissive = emit_stex[tri_mat] >= 0
+        light_tris = np.nonzero(emissive)[0].astype(np.int32)
+        n_area = len(light_tris)
+        if n_area == 0:
+            light_tris = np.zeros((1,), np.int32)
+        dist = build_discrete_1d(jnp.ones((max(n_area, 1),), jnp.float32))
+        env_imp = 1.0 if self.env_stex >= 0 else 0.0
+        env_prob = env_imp / max(env_imp + n_area, 1.0)
+        lights = Lights(
+            tri_idx=jnp.asarray(light_tris),
+            dist=dist,
+            env_prob=jnp.float32(env_prob),
+        )
+
+        # Env-light importance map (luminance * sin(theta)) if textured.
+        if self.env_stex >= 0 and self.stex[self.env_stex].kind == STexKind.IMAGE:
+            img = self.images[self.stex[self.env_stex].image_id]
+            lum = (
+                0.222485 * img[..., 0] + 0.716905 * img[..., 1] + 0.060610 * img[..., 2]
+            )
+            h = img.shape[0]
+            sin_t = np.sin(np.pi * (np.arange(h) + 0.5) / h)
+            env_dist = build_continuous_2d(jnp.asarray(lum * sin_t[:, None]))
+        else:
+            env_dist = build_continuous_2d(jnp.ones((4, 8), jnp.float32))
+        env = EnvLight(
+            stex=jnp.int32(self.env_stex),
+            dist=env_dist,
+            scale=jnp.float32(self.env_scale),
+        )
+
+        lo = positions.min(axis=0)
+        hi = positions.max(axis=0)
+        center = 0.5 * (lo + hi)
+        radius = float(np.linalg.norm(hi - center)) + 1e-3
+
+        bvh = None
+        if use_bvh:
+            from ..accel.lbvh import build_lbvh
+
+            bvh = build_lbvh(positions, tri_vidx)
+
+        return FlatScene(
+            geometry=geom,
+            materials=materials,
+            stex=stex,
+            ftex=ftex,
+            lights=lights,
+            env=env,
+            camera=self.camera,
+            bvh=bvh,
+            world_center=jnp.asarray(center),
+            world_radius=jnp.float32(radius),
+        )

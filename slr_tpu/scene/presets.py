@@ -1,0 +1,140 @@
+"""Built-in test scenes.
+
+`cornell_box_spheres` mirrors TestScenes/Cornell_Box_Spheres.txt (walls, area
+light, one metal + one glass sphere) with the spheres tessellated to triangles
+(the reference loads models/sphere.assbin, which ships outside the repo).
+These serve as test fixtures and benchmark scenes.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..core import math3d as m3
+from .build import SceneBuilder
+from .types import FlatScene
+
+
+def _quad(p00, p10, p11, p01, n, t):
+    """4 vertices + 2 triangles with constant normal/tangent."""
+    pos = np.array([p00, p10, p11, p01], np.float32)
+    nrm = np.tile(np.asarray(n, np.float32), (4, 1))
+    tan = np.tile(np.asarray(t, np.float32), (4, 1))
+    uv = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    tris = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    return pos, nrm, tan, uv, tris
+
+
+def uv_sphere(center, radius, n_theta: int = 32, n_phi: int = 64):
+    """Tessellated UV sphere with exact normals/tangents."""
+    cz = np.asarray(center, np.float32)
+    thetas = np.linspace(0.0, np.pi, n_theta + 1)
+    phis = np.linspace(0.0, 2 * np.pi, n_phi + 1)
+    tt, pp = np.meshgrid(thetas, phis, indexing="ij")
+    x = np.sin(tt) * np.cos(pp)
+    y = np.cos(tt)
+    z = np.sin(tt) * np.sin(pp)
+    normals = np.stack([x, y, z], axis=-1).reshape(-1, 3)
+    pos = cz + radius * normals
+    tangent = np.stack([-np.sin(pp), np.zeros_like(pp), np.cos(pp)], axis=-1).reshape(-1, 3)
+    # Degenerate tangents at poles: pick arbitrary orthogonal.
+    bad = np.abs(normals[:, 1]) > 0.999
+    tangent[bad] = (1.0, 0.0, 0.0)
+    uv = np.stack([pp / (2 * np.pi), tt / np.pi], axis=-1).reshape(-1, 2)
+    idx = np.arange((n_theta + 1) * (n_phi + 1)).reshape(n_theta + 1, n_phi + 1)
+    tris = []
+    for i in range(n_theta):
+        for j in range(n_phi):
+            a, b, c, d = idx[i, j], idx[i + 1, j], idx[i + 1, j + 1], idx[i, j + 1]
+            # Winding chosen so cross(e01, e02) matches the outward normals.
+            if i > 0:
+                tris.append([a, d, b])
+            if i < n_theta - 1:
+                tris.append([b, d, c])
+    return (
+        pos.astype(np.float32),
+        normals.astype(np.float32),
+        tangent.astype(np.float32),
+        uv.astype(np.float32),
+        np.asarray(tris, np.int32),
+    )
+
+
+def cornell_box_spheres(
+    light_scale: float = 30.0,
+    sphere_res: int = 24,
+    metal: bool = True,
+    glass: bool = True,
+    use_bvh: bool = True,
+) -> FlatScene:
+    """TestScenes/Cornell_Box_Spheres.txt as a FlatScene (RGB mode).
+
+    D65*4 emitter approximated by its RGB white point times the scale; the
+    aluminium/BK7 spectral IOR curves become their RGB-averaged values until
+    the spectral pipeline lands (spectrum/upsample.py).
+    """
+    b = SceneBuilder(spectral_dim=3)
+
+    red = b.add_matte(b.add_stex_const((0.75, 0.25, 0.25)))
+    blue = b.add_matte(b.add_stex_const((0.25, 0.25, 0.75)))
+    white = b.add_matte(b.add_stex_const((0.75, 0.75, 0.75)))
+    light_scatter = b.add_matte(b.add_stex_const((0.9, 0.9, 0.9)))
+    emit = b.add_stex_const((light_scale, light_scale, light_scale))
+    light_mat = b.add_emitter(light_scatter, emit)
+
+    quads = [
+        # left wall (red)
+        (_quad((-1.5, 0, 2.55), (-1.5, 0, -2.55), (-1.5, 2.5, -2.55),
+               (-1.5, 2.5, 2.55), (1, 0, 0), (0, 0, -1)), red),
+        # right wall (blue)
+        (_quad((1.5, 0, -2.55), (1.5, 0, 2.55), (1.5, 2.5, 2.55),
+               (1.5, 2.5, -2.55), (-1, 0, 0), (0, 0, 1)), blue),
+        # floor
+        (_quad((-1.5, 0, 2.55), (1.5, 0, 2.55), (1.5, 0, -2.55),
+               (-1.5, 0, -2.55), (0, 1, 0), (1, 0, 0)), white),
+        # inner (back) wall
+        (_quad((-1.5, 0, -2.55), (1.5, 0, -2.55), (1.5, 2.5, -2.55),
+               (-1.5, 2.5, -2.55), (0, 0, 1), (1, 0, 0)), white),
+        # ceiling
+        (_quad((-1.5, 2.5, -2.55), (1.5, 2.5, -2.55), (1.5, 2.5, 2.55),
+               (-1.5, 2.5, 2.55), (0, -1, 0), (1, 0, 0)), white),
+        # light quad
+        (_quad((-0.5, 2.499, -0.5), (0.5, 2.499, -0.5), (0.5, 2.499, 0.5),
+               (-0.5, 2.499, 0.5), (0, -1, 0), (1, 0, 0)), light_mat),
+    ]
+    for (pos, nrm, tan, uv, tris), mat in quads:
+        b.add_mesh(pos, nrm, tan, uv, tris, mat)
+
+    if metal:
+        # Aluminium (RGB-averaged eta/k from the reference's spectral library).
+        eta = b.add_stex_const((1.345, 0.965, 0.617))
+        k = b.add_stex_const((7.47, 6.40, 5.30))
+        coeff = b.add_stex_const((1.0, 1.0, 1.0))
+        metal_mat = b.add_metal(coeff, eta, k)
+        pos, nrm, tan, uv, tris = uv_sphere((-0.7, 0.5, -1.05), 0.5,
+                                            sphere_res, sphere_res * 2)
+        b.add_mesh(pos, nrm, tan, uv, tris, metal_mat)
+
+    if glass:
+        coeff = b.add_stex_const((0.999, 0.999, 0.999))
+        eta_ext = b.add_stex_const((1.00036, 1.00021, 1.00071))
+        eta_int = b.add_stex_const((1.51, 1.516, 1.526))  # BK7-ish per channel
+        glass_mat = b.add_glass(coeff, eta_ext, eta_int)
+        pos, nrm, tan, uv, tris = uv_sphere((0.7, 0.5, 0.0), 0.5,
+                                            sphere_res, sphere_res * 2)
+        b.add_mesh(pos, nrm, tan, uv, tris, glass_mat)
+
+    import numpy.linalg  # noqa: F401
+    to_world = (
+        np.asarray(m3.mat_translate(np.array([0.0, 1.689714, 6.70284])))
+        @ np.asarray(m3.mat_rotate_y(np.pi))
+        @ np.asarray(m3.mat_rotate_x(0.0563936))
+    )
+    b.set_camera_perspective(
+        to_world,
+        aspect=4.0 / 3.0,
+        fovy=0.4807705238,
+        lens_radius=0.025,
+        img_dist=1.0,
+        obj_dist=6.3,
+    )
+    return b.build(use_bvh=use_bvh)

@@ -1,0 +1,208 @@
+"""Vectorized texture evaluation over hit batches.
+
+Counterpart of reference libSLR/Textures/* + libSLR/Core/textures.h. The
+reference dispatches through `SpectrumTexture::evaluate` virtuals per hit; here
+every texture kind is evaluated branchlessly for the whole wavefront and the
+per-hit kind tag selects the result (compute-all-select — the standard TPU
+pattern; texture math is a handful of VPU flops so the redundancy is free
+compared to gathers).
+
+Image lookups are nearest-neighbor with wrap addressing, matching
+image_textures.cpp:13-27. Checker matches checker_board_textures.h:22-25.
+Voronoi matches voronoi_textures.cpp:14-85 (FNV-1 cell hash + LCG feature
+points, Worley closest-feature distance).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.math3d import Array
+from .types import FloatTextures, FTexKind, SpectrumTextures, STexKind
+
+
+def _wrap01(x: Array) -> Array:
+    """fmod into [0,1) matching image_textures.cpp:15-18 (negative-safe)."""
+    f = jnp.mod(x, 1.0)
+    return jnp.where(f < 0, f + 1.0, f)
+
+
+def _image_fetch(images: Array, image_hw: Array, image_id: Array, u: Array,
+                 v: Array) -> Array:
+    """Nearest-neighbor RGBA fetch from the stacked image atlas.
+
+    images: (NI, Hmax, Wmax, 4); image_hw: (NI, 2); image_id/u/v: (R,).
+    """
+    if images.shape[0] == 0:
+        return jnp.zeros(u.shape + (4,), jnp.float32)
+    iid = jnp.clip(image_id, 0, images.shape[0] - 1)
+    hw = image_hw[iid]  # (R, 2)
+    h = hw[..., 0]
+    w = hw[..., 1]
+    uu = _wrap01(u)
+    vv = _wrap01(v)
+    px = jnp.minimum((uu * w.astype(jnp.float32)).astype(jnp.int32), w - 1)
+    py = jnp.minimum((vv * h.astype(jnp.float32)).astype(jnp.int32), h - 1)
+    return images[iid, py, px]  # (R, 4)
+
+
+# ---------------------------------------------------------------------------
+# Voronoi (Worley) cell noise — reference voronoi_textures.cpp
+# ---------------------------------------------------------------------------
+
+_FNV_OFFSET = jnp.uint32(2166136261)
+_FNV_PRIME = jnp.uint32(16777619)
+
+
+def _fnv1_hash_3i(ix: Array, iy: Array, iz: Array) -> Array:
+    """FNV-1 over the 12 little-endian bytes of three int32 coords
+    (voronoi_textures.cpp getFNV1Hash32 over iCoord[3])."""
+    h = jnp.broadcast_to(_FNV_OFFSET, ix.shape)
+    for comp in (ix, iy, iz):
+        c = comp.astype(jnp.uint32)
+        for shift in (0, 8, 16, 24):
+            byte = (c >> shift) & jnp.uint32(0xFF)
+            h = (_FNV_PRIME * h) ^ byte
+    return h
+
+
+def _lcg_next(state: Array) -> tuple[Array, Array]:
+    """Numerical-Recipes LCG matching reference LinearCongruentialRNG:
+    next = 1664525 * state + 1013904223; float = next / 2^32."""
+    state = state * jnp.uint32(1664525) + jnp.uint32(1013904223)
+    f = state.astype(jnp.float32) * jnp.float32(1.0 / 4294967296.0)
+    return state, f
+
+
+def voronoi_cell_feature(p: Array, scale: Array) -> tuple[Array, Array]:
+    """Worley closest-feature search over the 2x2x2 neighborhood.
+
+    p: (R, 3) evaluation points (texcoord or world pos), scale: (R,).
+    Returns (closest_hash + idx, closest_distance/scale) — the seed feeding the
+    per-cell LCG color draw, matching voronoi_textures.cpp:14-85.
+    """
+    evalp = p / scale[..., None]
+    icoord = jnp.floor(evalp).astype(jnp.int32)
+    frac = evalp - icoord.astype(jnp.float32)
+    range_base = -1 + jnp.round(frac).astype(jnp.int32)  # (R, 3)
+
+    best_dist = jnp.full(p.shape[:-1], jnp.inf, jnp.float32)
+    best_seed = jnp.zeros(p.shape[:-1], jnp.uint32)
+
+    for dz in range(2):
+        for dy in range(2):
+            for dx in range(2):
+                cx = icoord[..., 0] + range_base[..., 0] + dx
+                cy = icoord[..., 1] + range_base[..., 1] + dy
+                cz = icoord[..., 2] + range_base[..., 2] + dz
+                h = _fnv1_hash_3i(cx, cy, cz)
+                state = h
+                state, f0 = _lcg_next(state)
+                nfp = 1 + jnp.minimum((8.0 * f0).astype(jnp.int32), 8)
+                for i in range(9):
+                    state, fx = _lcg_next(state)
+                    state, fy = _lcg_next(state)
+                    state, fz = _lcg_next(state)
+                    fp = jnp.stack(
+                        [
+                            cx.astype(jnp.float32) + fx,
+                            cy.astype(jnp.float32) + fy,
+                            cz.astype(jnp.float32) + fz,
+                        ],
+                        axis=-1,
+                    )
+                    dist = jnp.linalg.norm(evalp - fp, axis=-1)
+                    valid = i < nfp
+                    closer = jnp.logical_and(valid, dist < best_dist)
+                    best_dist = jnp.where(closer, dist, best_dist)
+                    best_seed = jnp.where(closer, h + jnp.uint32(i), best_seed)
+    return best_seed, best_dist
+
+
+def _voronoi_rgb(p: Array, scale: Array, brightness: Array) -> Array:
+    seed, _ = voronoi_cell_feature(p, scale)
+    state = seed
+    state, r = _lcg_next(state)
+    state, g = _lcg_next(state)
+    state, b = _lcg_next(state)
+    return jnp.stack([r, g, b], axis=-1) * brightness[..., None]
+
+
+# ---------------------------------------------------------------------------
+# Public evaluation entry points
+# ---------------------------------------------------------------------------
+
+def eval_spectrum_texture(
+    stex: SpectrumTextures, tex_id: Array, uv: Array, wpos: Array | None = None
+) -> Array:
+    """Evaluate spectrum textures for a batch of hits.
+
+    tex_id: (R,) int32 (-1 returns zero); uv: (R, 2). Returns (R, S).
+    """
+    tid = jnp.clip(tex_id, 0, stex.kind.shape[0] - 1)
+    kind = stex.kind[tid]
+    scale = stex.map_scale[tid]
+    offset = stex.map_offset[tid]
+    tc = uv * scale + offset
+
+    out = stex.value[tid]  # CONST
+
+    # CHECKER: ((int)(2u) + (int)(2v)) % 2 picks value vs value2.
+    sel = jnp.mod(
+        (tc[..., 0] * 2).astype(jnp.int32) + (tc[..., 1] * 2).astype(jnp.int32), 2
+    )
+    checker = jnp.where((sel == 0)[..., None], stex.value[tid], stex.value2[tid])
+    out = jnp.where((kind == STexKind.CHECKER)[..., None], checker, out)
+
+    # IMAGE
+    any_image = bool(stex.images.shape[0] > 0)
+    if any_image:
+        rgba = _image_fetch(
+            stex.images, stex.image_hw, stex.image_id[tid], tc[..., 0], tc[..., 1]
+        )
+        img_val = rgba[..., :3] * stex.value[tid]  # value holds a scale (ones default)
+        out = jnp.where((kind == STexKind.IMAGE)[..., None], img_val, out)
+
+    # VORONOI: value[...,0] stores cell scale, value2[...,0] brightness.
+    p3 = (
+        wpos
+        if wpos is not None
+        else jnp.concatenate([tc, jnp.zeros_like(tc[..., :1])], axis=-1)
+    )
+    has_voronoi = True  # cheap enough to always compute? It is not — gate it.
+    if has_voronoi:
+        is_vor = kind == STexKind.VORONOI
+        # Skip the expensive Worley search entirely when the scene has no
+        # voronoi textures (static check on host-built scenes).
+        vor = jax.lax.cond(
+            jnp.any(is_vor),
+            lambda: _voronoi_rgb(p3, stex.value[tid][..., 0], stex.value2[tid][..., 0]),
+            lambda: jnp.zeros(p3.shape[:-1] + (3,), jnp.float32),
+        )
+        s = out.shape[-1]
+        if s == 3:
+            out = jnp.where(is_vor[..., None], vor, out)
+        # Spectral mode handles voronoi via upsampling at the call site.
+
+    return jnp.where((tex_id >= 0)[..., None], out, jnp.zeros_like(out))
+
+
+def eval_float_texture(ftex: FloatTextures, tex_id: Array, uv: Array) -> Array:
+    """Evaluate float textures. tex_id: (R,) (-1 returns 0). Returns (R,)."""
+    tid = jnp.clip(tex_id, 0, ftex.kind.shape[0] - 1)
+    kind = ftex.kind[tid]
+    tc = uv * ftex.map_scale[tid] + ftex.map_offset[tid]
+
+    out = ftex.value[tid]
+    sel = jnp.mod(
+        (tc[..., 0] * 2).astype(jnp.int32) + (tc[..., 1] * 2).astype(jnp.int32), 2
+    )
+    checker = jnp.where(sel == 0, ftex.value[tid], ftex.value2[tid])
+    out = jnp.where(kind == FTexKind.CHECKER, checker, out)
+    return jnp.where(tex_id >= 0, out, jnp.zeros_like(out))
+
+
+def eval_float_texture_default1(ftex: FloatTextures, tex_id: Array, uv: Array) -> Array:
+    """Like eval_float_texture but -1 means 1.0 (lobe weight default)."""
+    v = eval_float_texture(ftex, tex_id, uv)
+    return jnp.where(tex_id >= 0, v, jnp.ones_like(v))

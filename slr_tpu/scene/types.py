@@ -1,0 +1,224 @@
+"""Flat SoA scene representation — the device-side scene format.
+
+This is the TPU-native counterpart of the reference's render-time object tree
+(libSLR/Core/SurfaceObject.{h,cpp}): where the reference flattens its authoring
+scene graph into pointer-linked `SingleSurfaceObject`s + virtual BSDF closures,
+we flatten into *arrays*. No polymorphism survives on device: every triangle
+row carries a material index, materials are a struct-of-arrays of up to
+MAX_LOBES weighted BSDF lobes (generalizing the reference's MultiBSDF,
+libSLR/BSDFs/MultiBSDF.cpp:20-129), and textures are a tagged SoA table.
+
+All classes are `flax.struct` pytrees: they trace through `jit`, shard with
+`jax.sharding`, and differentiate (material/texture parameters are leaves).
+"""
+from __future__ import annotations
+
+import enum
+from typing import Any, Optional
+
+import jax.numpy as jnp
+from flax import struct
+
+from ..core.math3d import Array
+from ..core.sampling import Continuous2D, Discrete1D
+
+
+MAX_LOBES = 4  # reference MultiBSDF holds at most 4 components (MultiBSDF.h)
+
+
+class LobeKind(enum.IntEnum):
+    """BSDF lobe tags. Each maps to one reference BSDF class (see bsdf/)."""
+
+    NONE = 0
+    LAMBERT = 1           # LambertianBRDF          (basic_BSDFs.cpp:12-57)
+    OREN_NAYAR = 2        # OrenNayerBRDF           (OrenNayerBRDF.cpp)
+    SPECULAR_REFLECTION = 3  # SpecularBRDF         (basic_BSDFs.cpp:61-91)
+    SPECULAR_SCATTERING = 4  # SpecularBSDF (glass) (basic_BSDFs.cpp:95-169)
+    MICROFACET_REFLECTION = 5  # MicrofacetBRDF     (MicrofacetBSDF.cpp)
+    MICROFACET_SCATTERING = 6  # MicrofacetBSDF     (MicrofacetBSDF.cpp)
+    WARD = 7              # ModifiedWardDurBRDF     (ModifiedWardDurBRDF.cpp)
+    ASHIKHMIN_SPECULAR = 8  # AshikhminSpecularBRDF (AshikhminShirleyBRDF.cpp)
+    ASHIKHMIN_DIFFUSE = 9   # AshikhminDiffuseBRDF  (AshikhminShirleyBRDF.cpp)
+    FLIPPED_LAMBERT = 10  # InverseBSDF(Lambert) for back-face emitters
+
+
+class STexKind(enum.IntEnum):
+    """Spectrum-texture tags (reference libSLR/Textures/*)."""
+
+    CONST = 0
+    IMAGE = 1
+    CHECKER = 2
+    VORONOI = 3
+
+
+class FTexKind(enum.IntEnum):
+    CONST = 0
+    IMAGE = 1      # luminance of image
+    CHECKER = 2
+    VORONOI = 3
+
+
+class CameraKind(enum.IntEnum):
+    PERSPECTIVE = 0   # reference PerspectiveCamera (thin lens)
+    EQUIRECTANGULAR = 1
+
+
+class SpectrumTextures(struct.PyTreeNode):
+    """Tagged SoA table of spectrum textures.
+
+    kind:      (C,) int32 STexKind
+    value:     (C, S) primary color (CONST value / CHECKER color0); S = spectral dim
+    value2:    (C, S) secondary color (CHECKER color1)
+    image_id:  (C,) int32 index into `images` (-1 if unused)
+    map_scale: (C, 2), map_offset: (C, 2) texcoord mapping (Texture2DMapping)
+    images:    (NI, Hmax, Wmax, 4) stacked RGBA image atlas (possibly (0,...))
+    image_hw:  (NI, 2) int32 actual (h, w) of each image
+    """
+
+    kind: Array
+    value: Array
+    value2: Array
+    image_id: Array
+    map_scale: Array
+    map_offset: Array
+    images: Array
+    image_hw: Array
+
+
+class FloatTextures(struct.PyTreeNode):
+    kind: Array       # (F,) int32 FTexKind
+    value: Array      # (F,)
+    value2: Array     # (F,)
+    image_id: Array   # (F,)
+    map_scale: Array  # (F, 2)
+    map_offset: Array  # (F, 2)
+
+
+class Materials(struct.PyTreeNode):
+    """Material table: every material is <= MAX_LOBES tagged lobes.
+
+    lobe_kind:   (M, L) int32 LobeKind
+    lobe_stex:   (M, L, 3) int32 spectrum-texture slots per lobe
+                 slot meanings by kind:
+                   LAMBERT/OREN_NAYAR: [reflectance, -, -]
+                   SPECULAR_REFLECTION: [coeff, eta, k]        (conductor Fresnel)
+                   SPECULAR_SCATTERING: [coeff, etaExt, etaInt] (dielectric)
+                   MICROFACET_REFLECTION: [-, eta, k]
+                   MICROFACET_SCATTERING: [-, etaExt, etaInt]
+                   WARD/ASHIKHMIN_*: [reflectance, -, -]
+    lobe_ftex:   (M, L, 2) int32 float-texture slots
+                 [sigma, -] for OREN_NAYAR; [alpha_g, -] microfacet;
+                 [anisoX, anisoY] WARD; [nu, nv] ASHIKHMIN_SPECULAR
+    lobe_wtex:   (M, L) int32 float texture scaling the lobe (-1 => 1.0);
+                 implements `createSurfaceMaterial("mix", ...)` ratios
+    emit_stex:   (M,) int32 emittance spectrum texture (-1 => not emissive);
+                 DiffuseEDF semantics (basic_EDFs.cpp:12-29)
+    """
+
+    lobe_kind: Array
+    lobe_stex: Array
+    lobe_ftex: Array
+    lobe_wtex: Array
+    emit_stex: Array
+
+    @property
+    def num(self) -> int:
+        return self.lobe_kind.shape[0]
+
+
+class Geometry(struct.PyTreeNode):
+    """Triangle soup with baked static transforms (reference nodes.cpp:152-171
+    bakes static transforms into render vertex buffers at build time).
+
+    positions/normals/tangents: (V, 3); uvs: (V, 2)
+    tri_vidx: (T, 3) int32; tri_mat: (T,) int32; tri_alpha: (T,) int32 ftex id
+    """
+
+    positions: Array
+    normals: Array
+    tangents: Array
+    uvs: Array
+    tri_vidx: Array
+    tri_mat: Array
+    tri_alpha: Array
+
+    @property
+    def num_tris(self) -> int:
+        return self.tri_vidx.shape[0]
+
+
+class Lights(struct.PyTreeNode):
+    """Area-light table over emissive triangles + env-light bookkeeping,
+    mirroring the reference's two-phase light selection: env-vs-area split by
+    importance, then a discrete distribution over area lights
+    (SurfaceObject.cpp:431-449, :226-250).
+
+    tri_idx:  (NL,) int32 triangle ids (NL >= 1; dummy row if no area lights)
+    dist:     Discrete1D over area lights (importance = power)
+    env_prob: () probability of picking the env light (0 if none)
+    """
+
+    tri_idx: Array
+    dist: Discrete1D
+    env_prob: Array
+
+    @property
+    def num(self) -> int:
+        return self.tri_idx.shape[0]
+
+
+class EnvLight(struct.PyTreeNode):
+    """Image-based environment light (reference InfiniteSphereSurfaceObject,
+    SurfaceObject.cpp:137-209). `stex` indexes the scene's spectrum textures;
+    `dist` is the (phi, theta) importance map; `scale` multiplies radiance."""
+
+    stex: Array        # () int32, -1 => no env light
+    dist: Continuous2D
+    scale: Array       # ()
+
+
+class Camera(struct.PyTreeNode):
+    """Reference PerspectiveCamera (thin lens; PerspectiveCamera.cpp:15-99) or
+    EquirectangularCamera. `kind` is static metadata."""
+
+    kind: int = struct.field(pytree_node=False, default=CameraKind.PERSPECTIVE)
+    to_world: Array = None     # (4, 4) camera-to-world
+    aspect: Array = None       # ()
+    fovy: Array = None         # ()
+    lens_radius: Array = None  # ()
+    img_dist: Array = None     # () imgPlaneDistance
+    obj_dist: Array = None     # () focus distance
+    phi_angle: Array = None    # () equirect horizontal angle
+    theta_angle: Array = None  # () equirect vertical angle
+
+
+class BVH(struct.PyTreeNode):
+    """Flat LBVH (built in accel/lbvh.py).
+
+    node_min/node_max: (N, 3) child AABBs; node_left/node_right: (N,) int32
+    child pointers — negative values encode leaf: prim = -(ptr) - 1.
+    Interior nodes reference either nodes (>=0) or single-primitive leaves.
+    prim_order: (T,) int32 primitive reordering.
+    """
+
+    node_min: Array
+    node_max: Array
+    node_left: Array
+    node_right: Array
+    prim_order: Array
+
+
+class FlatScene(struct.PyTreeNode):
+    """The complete device-side scene. Counterpart of SLR::Scene
+    (SurfaceObject.h:239-260) after `Scene::build` flattening."""
+
+    geometry: Geometry
+    materials: Materials
+    stex: SpectrumTextures
+    ftex: FloatTextures
+    lights: Lights
+    env: EnvLight
+    camera: Camera
+    bvh: Optional[BVH] = None
+    world_center: Array = None  # (3,)
+    world_radius: Array = None  # ()

@@ -1,0 +1,74 @@
+"""RGB color pipeline: sRGB/XYZ conversion, luminance, hero-channel importance,
+and the reference's sensor tone-map.
+
+Reference: libSLR/BasicTypes/Spectrum.h:27-90 (matrices, gamma),
+libSLR/BasicTypes/RGBTypes.h:95-108 (luminance, importance),
+libSLR/Core/ImageSensor.cpp:140-186 (tone map on save).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core.math3d import Array
+
+# sRGB (D65) <-> XYZ, matching reference Spectrum.h sRGB matrices.
+sRGB_to_XYZ = jnp.array(
+    [
+        [0.4124564, 0.3575761, 0.1804375],
+        [0.2126729, 0.7151522, 0.0721750],
+        [0.0193339, 0.1191920, 0.9503041],
+    ],
+    jnp.float32,
+)
+XYZ_to_sRGB = jnp.array(
+    [
+        [3.2404542, -1.5371385, -0.4985314],
+        [-0.9692660, 1.8760108, 0.0415560],
+        [0.0556434, -0.2040259, 1.0572252],
+    ],
+    jnp.float32,
+)
+
+HERO_PRIMARY = 0.9  # reference RGBTypes.h:104 / SpectrumTypes.h:519
+
+
+def luminance(rgb: Array) -> Array:
+    """sRGB luminance, reference RGBTypes.h:97 coefficients."""
+    return (
+        0.222485 * rgb[..., 0] + 0.716905 * rgb[..., 1] + 0.060610 * rgb[..., 2]
+    )
+
+
+def importance(values: Array, hero: Array) -> Array:
+    """Hero-sample importance: 0.9 weight on the hero channel, the rest spread
+    over the others (reference RGBTypes.h:103-108 / SpectrumTypes.h:512-523).
+
+    values: (..., S), hero: (...) int32 index into the last axis.
+    """
+    s = values.shape[-1]
+    total = jnp.sum(values, axis=-1)
+    if s == 1:
+        return total
+    marginal = (1.0 - HERO_PRIMARY) / (s - 1)
+    hero_val = jnp.take_along_axis(values, hero[..., None], axis=-1)[..., 0]
+    return total * marginal + hero_val * (HERO_PRIMARY - marginal)
+
+
+def srgb_gamma(v: Array) -> Array:
+    """sRGB OETF (reference Spectrum.h sRGB_gamma)."""
+    v = jnp.maximum(v, 0.0)
+    return jnp.where(
+        v <= 0.0031308, 12.92 * v, 1.055 * jnp.power(v, 1.0 / 2.4) - 0.055
+    )
+
+
+def srgb_degamma(v: Array) -> Array:
+    v = jnp.maximum(v, 0.0)
+    return jnp.where(v <= 0.04045, v / 12.92, jnp.power((v + 0.055) / 1.055, 2.4))
+
+
+def tonemap_sensor(xyz_or_rgb_Y: Array) -> Array:
+    """The reference sensor's luminance compression `(1 - e^-Y)/Y`
+    (ImageSensor.cpp:140-186). Applied to the Y channel as a scale."""
+    y = xyz_or_rgb_Y
+    return jnp.where(y > 1e-8, (1.0 - jnp.exp(-y)) / jnp.maximum(y, 1e-8), 1.0)

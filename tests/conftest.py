@@ -1,0 +1,22 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+Sharding logic must be testable without TPU hardware (SURVEY.md §4): tests run
+on the host CPU with 8 virtual XLA devices so `jax.sharding.Mesh` paths
+compile and execute; determinism tests compare 1-device vs 8-device renders.
+
+Note: this image pins JAX_PLATFORMS=axon via sitecustomize and ignores the
+env override, so the platform is forced through jax.config instead. Keeping
+tests off the TPU also avoids serializing on the single axon tunnel.
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)
