@@ -19,17 +19,17 @@ import jax.numpy as jnp
 
 def main() -> None:
     from slr_tpu.scene.presets import cornell_box_spheres
-    from slr_tpu.render.pt import render
+    from slr_tpu.render.pt import render_fused
 
     width, height, spp, max_depth = 512, 384, 8, 8
     scene = cornell_box_spheres(sphere_res=24, use_bvh=True)
 
-    # Warm-up / compile.
-    img = render(scene, width, height, spp=1, max_depth=max_depth)
+    # Warm-up / compile (same static shapes as the timed run).
+    img = render_fused(scene, width, height, spp=spp, max_depth=max_depth)
     img.block_until_ready()
 
     t0 = time.perf_counter()
-    img = render(scene, width, height, spp=spp, max_depth=max_depth)
+    img = render_fused(scene, width, height, spp=spp, max_depth=max_depth, seed=1)
     img.block_until_ready()
     dt = time.perf_counter() - t0
 

@@ -22,7 +22,7 @@ from ..core.math3d import Array
 from ..scene.textures import (
     eval_float_texture,
     eval_float_texture_default1,
-    eval_spectrum_texture,
+    eval_stex,
 )
 from ..scene.types import FlatScene, LobeKind, Materials
 from ..spectrum.rgb import importance
@@ -39,7 +39,8 @@ class BSDFSampleResult(NamedTuple):
 
 
 def gather_lobes(scene: FlatScene, mat_id: Array, uv: Array,
-                 wpos: Array | None = None) -> LobeBatch:
+                 wpos: Array | None = None,
+                 lambdas: Array | None = None) -> LobeBatch:
     """Evaluate all material textures at the hits: (R,) mat ids -> (R, L) lobes.
 
     Counterpart of SurfaceMaterial::getBSDF texture evaluation + closure
@@ -56,10 +57,14 @@ def gather_lobes(scene: FlatScene, mat_id: Array, uv: Array,
     r, l = kind.shape
 
     def ev_s(ids: Array) -> Array:
-        flat = eval_spectrum_texture(
+        flat = eval_stex(
             scene.stex,
             ids.reshape(-1),
             jnp.broadcast_to(uv[:, None, :], (r, l, 2)).reshape(-1, 2),
+            None if lambdas is None
+            else jnp.broadcast_to(
+                lambdas[:, None, :], (r, l, lambdas.shape[-1])
+            ).reshape(-1, lambdas.shape[-1]),
             None if wpos is None
             else jnp.broadcast_to(wpos[:, None, :], (r, l, 3)).reshape(-1, 3),
         )
@@ -90,55 +95,73 @@ def _is_kind(kind: Array, k: LobeKind) -> Array:
 
 def lobe_weights(lobes: LobeBatch, wo: Array, hero: Array) -> Array:
     """Per-lobe sampling weights (R, L) — each kind's weightInternal."""
-    wo_b = wo[:, None, :]
+    wo_b = jnp.broadcast_to(wo[:, None, :], lobes.kind.shape + (3,))
     hero_b = jnp.broadcast_to(hero[:, None], lobes.kind.shape)
     w = jnp.zeros(lobes.kind.shape, jnp.float32)
     diffuse_like = (
         _is_kind(lobes.kind, LobeKind.LAMBERT)
         | _is_kind(lobes.kind, LobeKind.OREN_NAYAR)
+        | _is_kind(lobes.kind, LobeKind.WARD)
     )
     w = jnp.where(diffuse_like, importance(lobes.s0, hero_b), w)
-    w = jnp.where(
-        _is_kind(lobes.kind, LobeKind.SPECULAR_REFLECTION),
-        lb_mod.specular_reflection_weight(lobes, wo_b, hero_b),
-        w,
-    )
-    w = jnp.where(
-        _is_kind(lobes.kind, LobeKind.SPECULAR_SCATTERING),
-        lb_mod.specular_scattering_weight(lobes, wo_b, hero_b),
-        w,
-    )
+    for kind, fn in (
+        (LobeKind.SPECULAR_REFLECTION,
+         lambda: lb_mod.specular_reflection_weight(lobes, wo_b, hero_b)),
+        (LobeKind.SPECULAR_SCATTERING,
+         lambda: lb_mod.specular_scattering_weight(lobes, wo_b, hero_b)),
+        (LobeKind.MICROFACET_REFLECTION,
+         lambda: lb_mod.microfacet_reflection_weight(lobes, wo_b, hero_b)),
+        (LobeKind.MICROFACET_SCATTERING,
+         lambda: lb_mod.microfacet_reflection_weight(lobes, wo_b, hero_b)),
+        (LobeKind.ASHIKHMIN,
+         lambda: sum(lb_mod._ashikhmin_weights(lobes, wo_b, hero_b))),
+    ):
+        w = jnp.where(_is_kind(lobes.kind, kind), fn(), w)
     return jnp.maximum(w, 0.0)
 
 
-def _eval_internal_all(lobes: LobeBatch, wo: Array, wi: Array) -> Array:
+def _eval_internal_all(lobes: LobeBatch, wo: Array, wi: Array,
+                       hero: Array) -> Array:
     """Internal fs per lobe: (R, L, S). Delta lobes evaluate to zero."""
     wo_b = jnp.broadcast_to(wo[:, None, :], lobes.kind.shape + (3,))
     wi_b = jnp.broadcast_to(wi[:, None, :], lobes.kind.shape + (3,))
     fs = jnp.zeros(lobes.s0.shape, jnp.float32)
-    fs = jnp.where(
-        _is_kind(lobes.kind, LobeKind.LAMBERT)[..., None],
-        lb_mod.lambert_eval(lobes, wo_b, wi_b),
-        fs,
-    )
-    fs = jnp.where(
-        _is_kind(lobes.kind, LobeKind.OREN_NAYAR)[..., None],
-        lb_mod.oren_nayar_eval(lobes, wo_b, wi_b),
-        fs,
-    )
+    for kind, fn in (
+        (LobeKind.LAMBERT, lambda: lb_mod.lambert_eval(lobes, wo_b, wi_b)),
+        (LobeKind.OREN_NAYAR, lambda: lb_mod.oren_nayar_eval(lobes, wo_b, wi_b)),
+        (LobeKind.MICROFACET_REFLECTION,
+         lambda: lb_mod.microfacet_reflection_eval(lobes, wo_b, wi_b)),
+        (LobeKind.MICROFACET_SCATTERING,
+         lambda: lb_mod.microfacet_scattering_eval(lobes, wo_b, wi_b)),
+        (LobeKind.WARD, lambda: lb_mod.ward_eval(lobes, wo_b, wi_b)),
+        (LobeKind.ASHIKHMIN, lambda: lb_mod.ashikhmin_eval(lobes, wo_b, wi_b)),
+    ):
+        fs = jnp.where(_is_kind(lobes.kind, kind)[..., None], fn(), fs)
     return fs
 
 
-def _pdf_internal_all(lobes: LobeBatch, wo: Array, wi: Array) -> Array:
+def _pdf_internal_all(lobes: LobeBatch, wo: Array, wi: Array,
+                      hero: Array) -> Array:
     """Internal pdf per lobe: (R, L). Delta lobes have zero pdf."""
     wo_b = jnp.broadcast_to(wo[:, None, :], lobes.kind.shape + (3,))
     wi_b = jnp.broadcast_to(wi[:, None, :], lobes.kind.shape + (3,))
+    hero_b = jnp.broadcast_to(hero[:, None], lobes.kind.shape)
     pdf = jnp.zeros(lobes.kind.shape, jnp.float32)
     cosine_like = (
         _is_kind(lobes.kind, LobeKind.LAMBERT)
         | _is_kind(lobes.kind, LobeKind.OREN_NAYAR)
     )
     pdf = jnp.where(cosine_like, lb_mod.lambert_pdf(lobes, wo_b, wi_b), pdf)
+    for kind, fn in (
+        (LobeKind.MICROFACET_REFLECTION,
+         lambda: lb_mod.microfacet_reflection_pdf(lobes, wo_b, wi_b)),
+        (LobeKind.MICROFACET_SCATTERING,
+         lambda: lb_mod.microfacet_scattering_pdf(lobes, wo_b, wi_b, hero_b)),
+        (LobeKind.WARD, lambda: lb_mod.ward_pdf(lobes, wo_b, wi_b)),
+        (LobeKind.ASHIKHMIN,
+         lambda: lb_mod.ashikhmin_pdf(lobes, wo_b, wi_b, hero_b)),
+    ):
+        pdf = jnp.where(_is_kind(lobes.kind, kind), fn(), pdf)
     return pdf
 
 
@@ -178,7 +201,10 @@ def bsdf_evaluate(lobes: LobeBatch, wo: Array, wi: Array, gn: Array,
     """Full evaluate with side test and sn-correction. Returns (R, S)."""
     match = _side_match(lobes.kind, wo, wi, gn)
     fs = jnp.sum(
-        jnp.where(match[..., None], _eval_internal_all(lobes, wo, wi), 0.0), axis=1
+        jnp.where(
+            match[..., None], _eval_internal_all(lobes, wo, wi, hero), 0.0
+        ),
+        axis=1,
     )
     return fs * _sn_correction(wi, gn)[..., None]
 
@@ -188,7 +214,7 @@ def bsdf_pdf(lobes: LobeBatch, wo: Array, wi: Array, gn: Array,
     """Weighted one-sample-MIS pdf over lobes (MultiBSDF evaluatePDFInternal)."""
     w = lobe_weights(lobes, wo, hero)
     sum_w = jnp.sum(w, axis=-1)
-    pdfs = _pdf_internal_all(lobes, wo, wi)
+    pdfs = _pdf_internal_all(lobes, wo, wi, hero)
     pdf = jnp.sum(pdfs * w, axis=-1) / jnp.maximum(sum_w, 1e-30)
     return jnp.where(sum_w > 0, pdf, 0.0)
 
@@ -237,6 +263,10 @@ def bsdf_sample(
     out_on = lb_mod.oren_nayar_sample(picked, wo, front, u0, u1)
     out_sr = lb_mod.specular_reflection_sample(picked, wo)
     out_ss = lb_mod.specular_scattering_sample(picked, wo, hero, u_remap)
+    out_mr = lb_mod.microfacet_reflection_sample(picked, wo, u0, u1)
+    out_ms = lb_mod.microfacet_scattering_sample(picked, wo, hero, u_remap, u0, u1)
+    out_wd = lb_mod.ward_sample(picked, wo, u0, u1)
+    out_as = lb_mod.ashikhmin_sample(picked, wo, front, hero, u_remap, u0, u1)
 
     def sel(field: str) -> Array:
         base_v = getattr(out_lam, field)
@@ -245,6 +275,10 @@ def bsdf_sample(
             (LobeKind.OREN_NAYAR, out_on),
             (LobeKind.SPECULAR_REFLECTION, out_sr),
             (LobeKind.SPECULAR_SCATTERING, out_ss),
+            (LobeKind.MICROFACET_REFLECTION, out_mr),
+            (LobeKind.MICROFACET_SCATTERING, out_ms),
+            (LobeKind.WARD, out_wd),
+            (LobeKind.ASHIKHMIN, out_as),
         ):
             mask = _is_kind(picked.kind, kind_enum)
             if v.ndim > mask.ndim:
@@ -260,7 +294,7 @@ def bsdf_sample(
 
     # Combined pdf & fs for non-delta picks (MultiBSDF.cpp:35-56).
     pdf = pdf_sel * w_sel
-    pdfs_all = _pdf_internal_all(lobes, wo, wi)
+    pdfs_all = _pdf_internal_all(lobes, wo, wi, hero)
     pdf_others = jnp.sum(pdfs_all * w, axis=-1) - jnp.take_along_axis(
         pdfs_all, idx[:, None], axis=-1
     )[:, 0] * w_sel
@@ -269,7 +303,10 @@ def bsdf_sample(
 
     match = _side_match(lobes.kind, wo, wi, gn)
     fs_sum = jnp.sum(
-        jnp.where(match[..., None], _eval_internal_all(lobes, wo, wi), 0.0), axis=1
+        jnp.where(
+            match[..., None], _eval_internal_all(lobes, wo, wi, hero), 0.0
+        ),
+        axis=1,
     )
     fs = jnp.where(is_delta[..., None], fs_sel, fs_sum)
 
@@ -286,12 +323,12 @@ def bsdf_sample(
 
 
 def emitted_radiance(scene: FlatScene, mat_id: Array, uv: Array,
-                     cos_out: Array) -> Array:
+                     cos_out: Array, lambdas: Array | None = None) -> Array:
     """Le = emittance * DiffuseEDF (1/pi on the emitting side). (R, S).
 
     cos_out: dot(dir_out, shading normal) at the emitter."""
     emit_tex = scene.materials.emit_stex[mat_id]
-    m = eval_spectrum_texture(scene.stex, emit_tex, uv)
+    m = eval_stex(scene.stex, emit_tex, uv, lambdas)
     le = m * (1.0 / jnp.pi)
     visible = (cos_out > 0.0) & (emit_tex >= 0)
     return jnp.where(visible[..., None], le, 0.0)

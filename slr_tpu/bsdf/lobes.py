@@ -61,8 +61,7 @@ REFLECTION_ONLY = (
     LobeKind.SPECULAR_REFLECTION,
     LobeKind.MICROFACET_REFLECTION,
     LobeKind.WARD,
-    LobeKind.ASHIKHMIN_SPECULAR,
-    LobeKind.ASHIKHMIN_DIFFUSE,
+    LobeKind.ASHIKHMIN,
 )
 DELTA_KINDS = (LobeKind.SPECULAR_REFLECTION, LobeKind.SPECULAR_SCATTERING)
 DISPERSIVE_KINDS = (LobeKind.SPECULAR_SCATTERING,)
@@ -241,3 +240,462 @@ def specular_scattering_sample(
         is_delta=true_,
         is_transmission=jnp.logical_not(do_reflect),
     )
+
+
+# ---------------------------------------------------------------------------
+# GGX microfacet distribution with visible-normal sampling
+# (reference directional_distribution_functions.cpp:163-274, Heitz2014)
+# ---------------------------------------------------------------------------
+
+def ggx_D(alpha: Array, m: Array) -> Array:
+    """GGX NDF (cpp:178-186): alpha^2/(pi cos^4 (alpha^2 + tan^2)^2), 0 below."""
+    cos2 = m[..., 2] * m[..., 2]
+    tan2 = (1.0 - cos2) / jnp.maximum(cos2, 1e-12)
+    a2 = alpha * alpha
+    d = a2 / (jnp.pi * jnp.maximum(cos2 * cos2, 1e-16) * (a2 + tan2) ** 2)
+    return jnp.where(m[..., 2] > 0, d, 0.0)
+
+
+def ggx_smith_g1(alpha: Array, v: Array, m: Array) -> Array:
+    """Smith masking G1 (cpp:266-270)."""
+    chi = (jnp.sum(v * m, axis=-1) / jnp.where(v[..., 2] == 0, 1e-12, v[..., 2])) > 0
+    cos_v = jnp.clip(v[..., 2], -1.0, 1.0)
+    tan2_v = (1.0 - cos_v * cos_v) / jnp.maximum(cos_v * cos_v, 1e-12)
+    g = 2.0 / (1.0 + jnp.sqrt(1.0 + alpha * alpha * tan2_v))
+    return jnp.where(chi, g, 0.0)
+
+
+def ggx_sample_vndf(alpha: Array, v: Array, u0: Array, u1: Array
+                    ) -> tuple[Array, Array]:
+    """Sample the distribution of visible normals (cpp:191-258, Heitz2014
+    slope-space method). v must have v.z > 0. Returns (m, pdf)."""
+    # stretch
+    sv = jnp.stack([alpha * v[..., 0], alpha * v[..., 1], v[..., 2]], axis=-1)
+    sv = sv / jnp.linalg.norm(sv, axis=-1, keepdims=True)
+    theta = jnp.arccos(jnp.clip(sv[..., 2], -1.0, 1.0))
+    phi = jnp.arctan2(sv[..., 1], sv[..., 0])
+    near_normal = sv[..., 2] > 0.99999
+    theta = jnp.where(near_normal, 0.0, theta)
+    phi = jnp.where(near_normal, 0.0, phi)
+
+    # normal-incidence branch
+    r_ni = jnp.sqrt(u0 / jnp.maximum(1.0 - u0, 1e-12))
+    phi_ni = 2.0 * jnp.pi * u1
+    sx_ni = r_ni * jnp.cos(phi_ni)
+    sy_ni = r_ni * jnp.sin(phi_ni)
+
+    # general branch (theta >= 0.0001)
+    tan_ti = jnp.tan(jnp.maximum(theta, 1e-4))
+    a = 1.0 / tan_ti
+    g1 = 2.0 / (1.0 + jnp.sqrt(1.0 + 1.0 / jnp.maximum(a * a, 1e-20)))
+    A = 2.0 * u0 / jnp.maximum(g1, 1e-12) - 1.0
+    tmp = 1.0 / jnp.where(jnp.abs(A * A - 1.0) < 1e-12, 1e-12, A * A - 1.0)
+    B = tan_ti
+    disc = jnp.maximum(B * B * tmp * tmp - (A * A - B * B) * tmp, 0.0)
+    d_root = jnp.sqrt(disc)
+    sx1 = B * tmp - d_root
+    sx2 = B * tmp + d_root
+    sx_g = jnp.where((A < 0) | (sx2 > 1.0 / tan_ti), sx1, sx2)
+    sx_g = jnp.where(u0 == 0.0, 0.0, sx_g)
+    s_sign = jnp.where(u1 > 0.5, 1.0, -1.0)
+    u1m = jnp.where(u1 > 0.5, 2.0 * (u1 - 0.5), 2.0 * (0.5 - u1))
+    z = (u1m * (u1m * (u1m * 0.27385 - 0.73369) + 0.46341)) / (
+        u1m * (u1m * (u1m * 0.093073 + 0.309420) - 1.0) + 0.597999
+    )
+    sy_g = s_sign * z * jnp.sqrt(1.0 + sx_g * sx_g)
+
+    use_ni = theta < 1e-4
+    slope_x = jnp.where(use_ni, sx_ni, sx_g)
+    slope_y = jnp.where(use_ni, sy_ni, sy_g)
+
+    # rotate + unstretch
+    cphi = jnp.cos(phi)
+    sphi = jnp.sin(phi)
+    rx = cphi * slope_x - sphi * slope_y
+    ry = sphi * slope_x + cphi * slope_y
+    rx = rx * alpha
+    ry = ry * alpha
+    m = jnp.stack([-rx, -ry, jnp.ones_like(rx)], axis=-1)
+    m = m / jnp.linalg.norm(m, axis=-1, keepdims=True)
+    d = ggx_D(alpha, m)
+    pdf = ggx_smith_g1(alpha, v, m) * jnp.abs(jnp.sum(v * m, axis=-1)) * d / jnp.maximum(
+        jnp.abs(v[..., 2]), 1e-12
+    )
+    return m, pdf
+
+
+def ggx_vndf_pdf(alpha: Array, v: Array, m: Array) -> Array:
+    return ggx_smith_g1(alpha, v, m) * jnp.abs(jnp.sum(v * m, axis=-1)) * ggx_D(
+        alpha, m
+    ) / jnp.maximum(jnp.abs(v[..., 2]), 1e-12)
+
+
+def _half_vector(a: Array, b: Array) -> Array:
+    h = a + b
+    return h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Microfacet BRDF — conductor (reference MicrofacetBSDF.cpp:11-110)
+# ---------------------------------------------------------------------------
+
+def microfacet_reflection_eval(lb: LobeBatch, wo: Array, wi: Array) -> Array:
+    alpha = lb.f0
+    same = wi[..., 2] * wo[..., 2] > 0
+    sign = jnp.where(wo[..., 2] >= 0, 1.0, -1.0)
+    m = sign[..., None] * _half_vector(wo, wi)
+    dot_hv = jnp.sum(wo * m, axis=-1)
+    d = ggx_D(alpha, m)
+    f = fresnel_conductor(lb.s1, lb.s2, dot_hv)
+    g = ggx_smith_g1(alpha, wo, m) * ggx_smith_g1(alpha, wi, m)
+    fs = f * (d * g / jnp.maximum(4.0 * jnp.abs(wo[..., 2] * wi[..., 2]), 1e-12))[..., None]
+    return jnp.where(same[..., None], fs, 0.0)
+
+
+def microfacet_reflection_pdf(lb: LobeBatch, wo: Array, wi: Array) -> Array:
+    alpha = lb.f0
+    same = wi[..., 2] * wo[..., 2] > 0
+    sign = jnp.where(wo[..., 2] >= 0, 1.0, -1.0)
+    m = sign[..., None] * _half_vector(wo, wi)
+    dot_hv = jnp.sum(wo * m, axis=-1)
+    ok = same & (dot_hv * sign > 0)
+    mpdf = ggx_vndf_pdf(alpha, sign[..., None] * wo, m)
+    pdf = mpdf / jnp.maximum(4.0 * dot_hv * sign, 1e-12)
+    return jnp.where(ok, pdf, 0.0)
+
+
+def microfacet_reflection_weight(lb: LobeBatch, wo: Array, hero: Array) -> Array:
+    sign = jnp.where(wo[..., 2] >= 0, 1.0, -1.0)
+    z = jnp.zeros_like(wo)
+    z = z.at[..., 2].set(1.0)
+    return ggx_smith_g1(lb.f0, wo * sign[..., None], z)
+
+
+def microfacet_reflection_sample(lb: LobeBatch, wo: Array, u0: Array,
+                                 u1: Array) -> SampleOut:
+    alpha = lb.f0
+    sign = jnp.where(wo[..., 2] >= 0, 1.0, -1.0)
+    m, mpdf = ggx_sample_vndf(alpha, sign[..., None] * wo, u0, u1)
+    dot_hv = jnp.sum(wo * m, axis=-1)
+    wi = 2.0 * dot_hv[..., None] * m - wo
+    ok = (dot_hv * sign > 0) & (wi[..., 2] * wo[..., 2] > 0)
+    pdf = mpdf / jnp.maximum(4.0 * dot_hv * sign, 1e-12)
+    fs = microfacet_reflection_eval(lb, wo, wi)
+    pdf = jnp.where(ok, pdf, 0.0)
+    fs = jnp.where(ok[..., None], fs, 0.0)
+    false_ = jnp.zeros(pdf.shape, bool)
+    return SampleOut(wi=wi, pdf=pdf, fs=fs, is_delta=false_,
+                     is_transmission=false_)
+
+
+# ---------------------------------------------------------------------------
+# Microfacet BSDF — rough dielectric (reference MicrofacetBSDF.cpp:113-305)
+# ---------------------------------------------------------------------------
+
+def _micro_scatter_trans_fs(lb: LobeBatch, wo: Array, wi: Array,
+                            adjoint: bool = False) -> Array:
+    """Per-wavelength transmission fs with per-channel half vectors
+    (MicrofacetBSDF.cpp:174-187 / :226-239)."""
+    alpha = lb.f0[..., None]
+    entering = (wo[..., 2] >= 0)[..., None]
+    e_enter = jnp.where(entering, lb.s1, lb.s2)  # (B, S)
+    e_exit = jnp.where(entering, lb.s2, lb.s1)
+    # m_wl = normalize(-(eEnter*wo + eExit*wi)) per channel: (B, S, 3)
+    m = -(e_enter[..., None] * wo[..., None, :] + e_exit[..., None] * wi[..., None, :])
+    m = m / jnp.maximum(jnp.linalg.norm(m, axis=-1, keepdims=True), 1e-12)
+    dot_hv = jnp.sum(wo[..., None, :] * m, axis=-1)  # (B, S)
+    dot_hl = jnp.sum(wi[..., None, :] * m, axis=-1)
+    f = _fresnel_dielectric_scalar(e_enter, e_exit, dot_hv)
+    g = (
+        ggx_smith_g1(alpha, wo[..., None, :], m)
+        * ggx_smith_g1(alpha, wi[..., None, :], m)
+    )
+    d = ggx_D(alpha, m)
+    denom = (e_enter * dot_hv + e_exit * dot_hl) ** 2
+    val = jnp.abs(dot_hv * dot_hl) * (1.0 - f) * g * d / jnp.maximum(denom, 1e-12)
+    val = val / jnp.maximum(jnp.abs(wo[..., 2] * wi[..., 2]), 1e-12)[..., None]
+    scale = (e_exit * e_exit) if adjoint else (e_enter * e_enter)
+    return val * scale
+
+
+def _fresnel_dielectric_scalar(e_enter: Array, e_exit: Array, cos_enter: Array
+                               ) -> Array:
+    """Channel-wise dielectric Fresnel where eta pairs are already selected
+    for the propagation side (all shapes broadcast together)."""
+    cos = jnp.clip(cos_enter, -1.0, 1.0)
+    sin_exit = e_enter / jnp.maximum(e_exit, 1e-12) * jnp.sqrt(
+        jnp.maximum(0.0, 1.0 - cos * cos)
+    )
+    cos_abs = jnp.abs(cos)
+    tir = sin_exit >= 1.0
+    cos_exit = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin_exit * sin_exit))
+    f = _eval_f_scalar(e_enter, e_exit, cos_abs, cos_exit)
+    return jnp.where(tir, 1.0, f)
+
+
+def _eval_f_scalar(ee, ex, ci, co):
+    d1 = ex * ci + ee * co
+    d2 = ee * ci + ex * co
+    rparl = (ex * ci - ee * co) / jnp.where(d1 == 0, 1e-12, d1)
+    rperp = (ee * ci - ex * co) / jnp.where(d2 == 0, 1e-12, d2)
+    return 0.5 * (rparl * rparl + rperp * rperp)
+
+
+def microfacet_scattering_eval(lb: LobeBatch, wo: Array, wi: Array) -> Array:
+    alpha = lb.f0
+    prod = wo[..., 2] * wi[..., 2]
+    sign = jnp.where(wo[..., 2] >= 0, 1.0, -1.0)
+    # reflection side
+    m = sign[..., None] * _half_vector(wo, wi)
+    dot_hv = jnp.sum(wo * m, axis=-1)
+    d = ggx_D(alpha, m)
+    f = fresnel_dielectric(lb.s1, lb.s2, dot_hv)
+    g = ggx_smith_g1(alpha, wo, m) * ggx_smith_g1(alpha, wi, m)
+    fs_refl = f * (d * g / jnp.maximum(4.0 * jnp.abs(prod), 1e-12))[..., None]
+    # transmission side
+    fs_trans = _micro_scatter_trans_fs(lb, wo, wi)
+    return jnp.where(
+        (prod > 0)[..., None], fs_refl,
+        jnp.where((prod < 0)[..., None], fs_trans, 0.0),
+    )
+
+
+def microfacet_scattering_pdf(lb: LobeBatch, wo: Array, wi: Array,
+                              hero: Array) -> Array:
+    alpha = lb.f0
+    prod = wo[..., 2] * wi[..., 2]
+    sign = jnp.where(wo[..., 2] >= 0, 1.0, -1.0)
+    entering = wo[..., 2] >= 0
+    ee_h = jnp.where(entering, _hero_take(lb.s1, hero), _hero_take(lb.s2, hero))
+    ex_h = jnp.where(entering, _hero_take(lb.s2, hero), _hero_take(lb.s1, hero))
+    m_refl = sign[..., None] * _half_vector(wo, wi)
+    m_trans = -(ee_h[..., None] * wo + ex_h[..., None] * wi)
+    m_trans = m_trans / jnp.maximum(
+        jnp.linalg.norm(m_trans, axis=-1, keepdims=True), 1e-12
+    )
+    m = jnp.where((prod > 0)[..., None], m_refl, m_trans)
+    dot_hv = jnp.sum(wo * m, axis=-1)
+    ok = (dot_hv * sign > 0) & (prod != 0)
+    mpdf = ggx_vndf_pdf(alpha, sign[..., None] * wo, m)
+    f = fresnel_dielectric(lb.s1, lb.s2, dot_hv)
+    reflect_prob = importance(f, hero)
+    dot_hl = jnp.sum(wi * m, axis=-1)
+    pdf_refl = reflect_prob * mpdf / jnp.maximum(4.0 * dot_hv * sign, 1e-12)
+    denom = jnp.maximum((ee_h * dot_hv + ex_h * dot_hl) ** 2, 1e-12)
+    pdf_trans = (1.0 - reflect_prob) / denom * mpdf * ex_h * ex_h * jnp.abs(dot_hl)
+    pdf = jnp.where(prod > 0, pdf_refl, pdf_trans)
+    return jnp.where(ok, pdf, 0.0)
+
+
+def microfacet_scattering_sample(lb: LobeBatch, wo: Array, hero: Array,
+                                 u_comp: Array, u0: Array, u1: Array
+                                 ) -> SampleOut:
+    alpha = lb.f0
+    sign = jnp.where(wo[..., 2] >= 0, 1.0, -1.0)
+    entering = wo[..., 2] >= 0
+    ee_h = jnp.where(entering, _hero_take(lb.s1, hero), _hero_take(lb.s2, hero))
+    ex_h = jnp.where(entering, _hero_take(lb.s2, hero), _hero_take(lb.s1, hero))
+    m, mpdf = ggx_sample_vndf(alpha, sign[..., None] * wo, u0, u1)
+    dot_hv = jnp.sum(wo * m, axis=-1)
+    valid_m = dot_hv * sign > 0
+    f = fresnel_dielectric(lb.s1, lb.s2, dot_hv)
+    reflect_prob = importance(f, hero)
+    do_reflect = u_comp < reflect_prob
+
+    # reflection branch
+    wi_r = 2.0 * dot_hv[..., None] * m - wo
+    ok_r = wi_r[..., 2] * wo[..., 2] > 0
+    pdf_r = reflect_prob * mpdf / jnp.maximum(4.0 * dot_hv * sign, 1e-12)
+
+    # refraction branch (hero-channel etas pick the direction,
+    # MicrofacetBSDF.cpp:156-170)
+    rr = ee_h / jnp.maximum(ex_h, 1e-12)
+    inner = 1.0 + rr * rr * (dot_hv * dot_hv - 1.0)
+    ok_t_root = inner >= 0
+    wi_t = (rr * dot_hv - sign * jnp.sqrt(jnp.maximum(inner, 0.0)))[..., None] * m - rr[..., None] * wo
+    ok_t = ok_t_root & (wi_t[..., 2] * wo[..., 2] < 0)
+    dot_hl = jnp.sum(wi_t * m, axis=-1)
+    denom = jnp.maximum((ee_h * dot_hv + ex_h * dot_hl) ** 2, 1e-12)
+    pdf_t = (1.0 - reflect_prob) / denom * mpdf * ex_h * ex_h * jnp.abs(dot_hl)
+
+    wi = jnp.where(do_reflect[..., None], wi_r, wi_t)
+    ok = valid_m & jnp.where(do_reflect, ok_r, ok_t)
+    pdf = jnp.where(do_reflect, pdf_r, pdf_t)
+    fs = microfacet_scattering_eval(lb, wo, wi)
+    pdf = jnp.where(ok, pdf, 0.0)
+    fs = jnp.where(ok[..., None], fs, 0.0)
+    false_ = jnp.zeros(pdf.shape, bool)
+    return SampleOut(wi=wi, pdf=pdf, fs=fs, is_delta=false_,
+                     is_transmission=jnp.logical_not(do_reflect))
+
+
+# ---------------------------------------------------------------------------
+# Modified Ward-Dur BRDF (reference ModifiedWardDurBRDF.cpp:11-90)
+# ---------------------------------------------------------------------------
+
+def _ward_terms(lb: LobeBatch, wo: Array, wi: Array):
+    ax = jnp.maximum(lb.f0, 1e-4)
+    ay = jnp.maximum(lb.f1, 1e-4)
+    h = _half_vector(wo, wi)
+    hx_ax = h[..., 0] / ax
+    hy_ay = h[..., 1] / ay
+    dot_hn = jnp.abs(h[..., 2])
+    dot_hi = jnp.sum(h * wi, axis=-1)
+    numerator = jnp.exp(
+        -(hx_ax * hx_ax + hy_ay * hy_ay) / jnp.maximum(dot_hn * dot_hn, 1e-12)
+    )
+    return ax, ay, dot_hn, dot_hi, numerator
+
+
+def ward_eval(lb: LobeBatch, wo: Array, wi: Array) -> Array:
+    same = wi[..., 2] * wo[..., 2] > 0
+    ax, ay, dot_hn, dot_hi, num = _ward_terms(lb, wo, wi)
+    denom = 4.0 * jnp.pi * ax * ay * dot_hi * dot_hi * dot_hn ** 4
+    fs = lb.s0 * (num / jnp.maximum(denom, 1e-12))[..., None]
+    return jnp.where(same[..., None], fs, 0.0)
+
+
+def ward_pdf(lb: LobeBatch, wo: Array, wi: Array) -> Array:
+    same = wi[..., 2] * wo[..., 2] > 0
+    ax, ay, dot_hn, dot_hi, num = _ward_terms(lb, wo, wi)
+    denom = 4.0 * jnp.pi * ax * ay * dot_hi * dot_hn ** 3
+    return jnp.where(same, num / jnp.maximum(denom, 1e-12), 0.0)
+
+
+def ward_sample(lb: LobeBatch, wo: Array, u0: Array, u1: Array) -> SampleOut:
+    ax = jnp.maximum(lb.f0, 1e-4)
+    ay = jnp.maximum(lb.f1, 1e-4)
+    quad = 2.0 * jnp.pi * u1
+    phi_h = jnp.arctan2(ay * jnp.sin(quad), ax * jnp.cos(quad))
+    cosphi_ax = jnp.cos(phi_h) / ax
+    sinphi_ay = jnp.sin(phi_h) / ay
+    theta_h = jnp.arctan(
+        jnp.sqrt(
+            -jnp.log(jnp.maximum(1.0 - u0, 1e-12))
+            / jnp.maximum(cosphi_ax**2 + sinphi_ay**2, 1e-12)
+        )
+    )
+    h = jnp.stack(
+        [
+            jnp.sin(theta_h) * jnp.cos(phi_h),
+            jnp.sin(theta_h) * jnp.sin(phi_h),
+            jnp.cos(theta_h) * jnp.where(wo[..., 2] > 0, 1.0, -1.0),
+        ],
+        axis=-1,
+    )
+    wi = 2.0 * jnp.sum(wo * h, axis=-1)[..., None] * h - wo
+    ok = wi[..., 2] * wo[..., 2] > 0
+    pdf = ward_pdf(lb, wo, wi)
+    fs = ward_eval(lb, wo, wi)
+    pdf = jnp.where(ok, pdf, 0.0)
+    fs = jnp.where(ok[..., None], fs, 0.0)
+    false_ = jnp.zeros(pdf.shape, bool)
+    return SampleOut(wi=wi, pdf=pdf, fs=fs, is_delta=false_,
+                     is_transmission=false_)
+
+
+# ---------------------------------------------------------------------------
+# Ashikhmin-Shirley BRDF (reference AshikhminShirleyBRDF.cpp:12-170):
+# anisotropic Phong specular + coupled diffuse with internal one-sample MIS.
+# s0 = Rs, s1 = Rd, f0 = nu, f1 = nv.
+# ---------------------------------------------------------------------------
+
+def _ashikhmin_weights(lb: LobeBatch, wo: Array, hero: Array):
+    i_rs = importance(lb.s0, hero)
+    i_rd = importance(lb.s1, hero)
+    vdh = jnp.abs(wo[..., 2])
+    spec_w = i_rs + (1.0 - i_rs) * (1.0 - vdh) ** 5
+    trans = 1.0 - (1.0 - vdh * 0.5) ** 5
+    diff_w = 28.0 * i_rd / 23.0 * (1.0 - i_rs) * trans * trans
+    return spec_w, diff_w
+
+
+def _ashikhmin_spec_terms(lb: LobeBatch, wo: Array, wi: Array, h: Array):
+    nu = lb.f0
+    nv = lb.f1
+    dot_hv = jnp.sum(h * wo, axis=-1)
+    denom_1mz2 = jnp.maximum(1.0 - h[..., 2] * h[..., 2], 1e-12)
+    expo = (nu * h[..., 0] ** 2 + nv * h[..., 1] ** 2) / denom_1mz2
+    common = (
+        jnp.sqrt((nu + 1.0) * (nv + 1.0))
+        / (8.0 * jnp.pi * jnp.maximum(dot_hv, 1e-12))
+        * jnp.abs(h[..., 2]) ** expo
+    )
+    return dot_hv, common
+
+
+def _ashikhmin_fs(lb: LobeBatch, wo: Array, wi: Array, h: Array) -> Array:
+    dot_hv, common = _ashikhmin_spec_terms(lb, wo, wi, h)
+    f = lb.s0 + (1.0 - lb.s0) * ((1.0 - dot_hv) ** 5)[..., None]
+    spec = (common / jnp.maximum(
+        jnp.maximum(jnp.abs(wo[..., 2]), jnp.abs(wi[..., 2])), 1e-12
+    ))[..., None] * f
+    diff = (
+        28.0 * lb.s1 / (23.0 * jnp.pi) * (1.0 - lb.s0)
+        * ((1.0 - (1.0 - jnp.abs(wo[..., 2]) / 2.0) ** 5)
+           * (1.0 - (1.0 - jnp.abs(wi[..., 2]) / 2.0) ** 5))[..., None]
+    )
+    return spec + diff
+
+
+def ashikhmin_eval(lb: LobeBatch, wo: Array, wi: Array) -> Array:
+    same = wi[..., 2] * wo[..., 2] > 0
+    h = _half_vector(wo, wi)
+    return jnp.where(same[..., None], _ashikhmin_fs(lb, wo, wi, h), 0.0)
+
+
+def ashikhmin_pdf(lb: LobeBatch, wo: Array, wi: Array, hero: Array) -> Array:
+    same = wi[..., 2] * wo[..., 2] > 0
+    h = _half_vector(wo, wi)
+    _, spec_pdf = _ashikhmin_spec_terms(lb, wo, wi, h)
+    diff_pdf = jnp.abs(wi[..., 2]) * _INV_PI
+    spec_w, diff_w = _ashikhmin_weights(lb, wo, hero)
+    pdf = (spec_pdf * spec_w + diff_pdf * diff_w) / jnp.maximum(
+        spec_w + diff_w, 1e-12
+    )
+    return jnp.where(same, pdf, 0.0)
+
+
+def ashikhmin_sample(lb: LobeBatch, wo: Array, front: Array, hero: Array,
+                     u_comp: Array, u0: Array, u1: Array) -> SampleOut:
+    nu = lb.f0
+    nv = lb.f1
+    spec_w, diff_w = _ashikhmin_weights(lb, wo, hero)
+    sum_w = jnp.maximum(spec_w + diff_w, 1e-12)
+    pick_spec = u_comp * sum_w < spec_w
+
+    # specular half-vector sample (AshikhminShirleyBRDF.cpp:27-35)
+    quad = 2.0 * jnp.pi * u1
+    phi_h = jnp.arctan2(
+        jnp.sqrt(nu + 1.0) * jnp.sin(quad), jnp.sqrt(nv + 1.0) * jnp.cos(quad)
+    )
+    cosphi = jnp.cos(phi_h)
+    sinphi = jnp.sin(phi_h)
+    expo = 1.0 / (nu * cosphi * cosphi + nv * sinphi * sinphi + 1.0)
+    cos_th = jnp.maximum(1.0 - u0, 1e-12) ** expo
+    theta_h = jnp.arccos(jnp.clip(cos_th, -1.0, 1.0))
+    theta_h = jnp.where(wo[..., 2] < 0, jnp.pi - theta_h, theta_h)
+    h = jnp.stack(
+        [
+            jnp.sin(theta_h) * cosphi,
+            jnp.sin(theta_h) * sinphi,
+            jnp.cos(theta_h),
+        ],
+        axis=-1,
+    )
+    wi_spec = 2.0 * jnp.sum(wo * h, axis=-1)[..., None] * h - wo
+
+    # diffuse cosine sample
+    d = cosine_sample_hemisphere(u0, u1)
+    z = jnp.where(front, d[..., 2], -d[..., 2])
+    wi_diff = jnp.concatenate([d[..., :2], z[..., None]], axis=-1)
+
+    wi = jnp.where(pick_spec[..., None], wi_spec, wi_diff)
+    ok = wi[..., 2] * wo[..., 2] > 0
+    pdf = ashikhmin_pdf(lb, wo, wi, hero)
+    fs = ashikhmin_eval(lb, wo, wi)
+    pdf = jnp.where(ok, pdf, 0.0)
+    fs = jnp.where(ok[..., None], fs, 0.0)
+    false_ = jnp.zeros(pdf.shape, bool)
+    return SampleOut(wi=wi, pdf=pdf, fs=fs, is_delta=false_,
+                     is_transmission=false_)

@@ -112,15 +112,48 @@ def trace_radiance(
     seed,
     max_depth: int = 16,
 ) -> Array:
-    """Estimate radiance for a wavefront of camera rays. Returns (R, S)."""
+    """Estimate radiance for a wavefront of camera rays. Returns (R, S).
+
+    In spectral scenes S = 16 hero-wavelength samples; the caller converts to
+    film strata. In RGB scenes S = 3. Also returns the wavelength set for
+    spectral scenes via trace_radiance_spectral."""
+    radiance, _ = _trace_core(scene, o, d, pixel_id, sample_id, seed, max_depth)
+    return radiance
+
+
+@partial(jax.jit, static_argnames=("max_depth",))
+def trace_radiance_spectral(scene, o, d, pixel_id, sample_id, seed, max_depth=16):
+    """Spectral variant returning (radiance (R, N), lambdas (R, N))."""
+    return _trace_core(scene, o, d, pixel_id, sample_id, seed, max_depth)
+
+
+def _trace_core(
+    scene: FlatScene,
+    o: Array,
+    d: Array,
+    pixel_id: Array,
+    sample_id: Array,
+    seed,
+    max_depth: int,
+):
+    from ..spectrum.spectral import NUM_SPECTRAL_SAMPLES, sample_wavelengths
+
     r = o.shape[0]
-    s = scene.stex.value.shape[-1]
+    spectral = scene.stex.spectral
+    s = NUM_SPECTRAL_SAMPLES if spectral else scene.stex.value.shape[-1]
     seed = jnp.asarray(seed, jnp.uint32)
 
-    # Hero channel selection (WavelengthSamples::createWithEqualOffsets; in
-    # RGB mode the hero is one of 3 channels chosen uniformly).
+    # Wavelength sampling (WavelengthSamples::createWithEqualOffsets,
+    # SpectrumTypes.h:54-64). In RGB mode the hero is a channel index.
     u_wl = rng.uniform(seed, pixel_id, sample_id, 0, Decision.WL_SELECT)
-    hero = jnp.minimum((u_wl * s).astype(jnp.int32), s - 1)
+    if spectral:
+        u_off = rng.uniform(seed, pixel_id, sample_id, 0, Decision.WAVELENGTH)
+        wls = sample_wavelengths(u_off, u_wl)
+        lambdas = wls.lambdas
+        hero = wls.hero
+    else:
+        lambdas = None
+        hero = jnp.minimum((u_wl * s).astype(jnp.int32), s - 1)
 
     hit = scene_intersect(scene, o, d)
     sp = resolve_surface_point(scene.geometry, hit, o, d)
@@ -130,7 +163,7 @@ def trace_radiance(
 
     # First-hit emitter: no MIS (PathTracingRenderer.cpp:152-156).
     cos_out = dot(-d, sp.sn)
-    le = emitted_radiance(scene, sp.mat_id, sp.uv, cos_out)
+    le = emitted_radiance(scene, sp.mat_id, sp.uv, cos_out, lambdas)
     radiance = radiance + jnp.where(hit.mask[..., None], alpha * le, 0.0)
 
     active = hit.mask
@@ -159,7 +192,7 @@ def trace_radiance(
         wo = frame_to_local(fx, fy, fz, wo_world)
         gn_sn = frame_to_local(fx, fy, fz, sp.gn)
 
-        lobes = gather_lobes(scene, sp.mat_id, sp.uv, sp.p)
+        lobes = gather_lobes(scene, sp.mat_id, sp.uv, sp.p, lambdas)
         nondelta = bsdf_has_nondelta(lobes)
 
         # --- Next-event estimation -------------------------------------
@@ -176,7 +209,7 @@ def trace_radiance(
 
         # EDF at the light point toward the shading point.
         cos_light_s = dot(-shadow_dir, lp.sn)
-        m_emit = emitted_radiance(scene, lp.mat_id, lp.uv, cos_light_s)
+        m_emit = emitted_radiance(scene, lp.mat_id, lp.uv, cos_light_s, lambdas)
         le_nee = m_emit  # includes 1/pi and upper-side test
 
         shadow_dir_sn = frame_to_local(fx, fy, fz, shadow_dir)
@@ -230,7 +263,9 @@ def trace_radiance(
 
         # Implicit emitter hit with MIS (PathTracingRenderer.cpp:232-249).
         cos_out_n = dot(-new_d, sp_next.sn)
-        le_hit = emitted_radiance(scene, sp_next.mat_id, sp_next.uv, cos_out_n)
+        le_hit = emitted_radiance(
+            scene, sp_next.mat_id, sp_next.uv, cos_out_n, lambdas
+        )
         d2 = jnp.maximum(
             jnp.sum((sp_next.p - new_o) ** 2, axis=-1), 1e-12
         )
@@ -274,7 +309,7 @@ def trace_radiance(
         return new_state, sp_next
 
     state, _ = jax.lax.fori_loop(0, max_depth, bounce, (state, sp))
-    return state.radiance
+    return state.radiance, lambdas
 
 
 def render(
@@ -288,12 +323,22 @@ def render(
 ) -> Array:
     """Render an image by accumulating spp sample passes. Returns (H, W, S)
     of *linear* mean radiance (develop with render/film.py)."""
+    from ..spectrum.spectral import (
+        NUM_STRATA,
+        WL_HI,
+        WL_LO,
+        NUM_SPECTRAL_SAMPLES,
+        bin_to_strata,
+        strata_to_rgb,
+    )
+
     n_pix = width * height
     pixel_id = jnp.arange(n_pix, dtype=jnp.uint32)
     px_i = (pixel_id % width).astype(jnp.float32)
     py_i = (pixel_id // width).astype(jnp.float32)
-    s = scene.stex.value.shape[-1]
-    film = jnp.zeros((n_pix, s), jnp.float32)
+    spectral = scene.stex.spectral
+    s_film = NUM_STRATA if spectral else scene.stex.value.shape[-1]
+    film = jnp.zeros((n_pix, s_film), jnp.float32)
     seed_u = jnp.uint32(seed)
 
     @jax.jit
@@ -305,12 +350,78 @@ def render(
         rays = sample_camera_rays(
             scene.camera, px_i + jx, py_i + jy, width, height, lx, ly
         )
-        c = trace_radiance(
-            scene, rays.o, rays.d, pixel_id,
-            jnp.full((n_pix,), sample_id, jnp.uint32), seed_u, max_depth,
+        sample_ids = jnp.full((n_pix,), sample_id, jnp.uint32)
+        c, lambdas = _trace_core(
+            scene, rays.o, rays.d, pixel_id, sample_ids, seed_u, max_depth
         )
-        return film + rays.weight[..., None] * c
+        weight = rays.weight[..., None] * c
+        if spectral:
+            # selectWLPDF division (PathTracingRenderer.cpp:126) followed by
+            # film stratum binning (ImageSensor.cpp:125-139).
+            select_wl_pdf = NUM_SPECTRAL_SAMPLES / (WL_HI - WL_LO)
+            return film + bin_to_strata(lambdas, weight / select_wl_pdf)
+        return film + weight
 
+    one_pass_c = jax.jit(one_pass)
     for i in range(spp):
-        film = one_pass(film, jnp.uint32(i))
-    return (film / spp).reshape(height, width, s)
+        film = one_pass_c(film, jnp.uint32(i))
+    film = (film / spp).reshape(height, width, s_film)
+    if spectral:
+        film = strata_to_rgb(film)
+    return film
+
+
+@partial(jax.jit, static_argnames=("width", "height", "spp", "max_depth"))
+def render_fused(
+    scene: FlatScene,
+    width: int,
+    height: int,
+    spp: int,
+    seed: int = 0,
+    max_depth: int = 16,
+) -> Array:
+    """Whole-frame render in a single device program: the spp loop runs as a
+    `lax.fori_loop` on-device, avoiding per-pass host dispatch (the axon
+    tunnel adds seconds per call). Same estimator as `render`."""
+    from ..spectrum.spectral import (
+        NUM_SPECTRAL_SAMPLES,
+        NUM_STRATA,
+        WL_HI,
+        WL_LO,
+        bin_to_strata,
+        strata_to_rgb,
+    )
+
+    n_pix = width * height
+    pixel_id = jnp.arange(n_pix, dtype=jnp.uint32)
+    px_i = (pixel_id % width).astype(jnp.float32)
+    py_i = (pixel_id // width).astype(jnp.float32)
+    spectral = scene.stex.spectral
+    s_film = NUM_STRATA if spectral else scene.stex.value.shape[-1]
+    seed_u = jnp.uint32(seed)
+
+    def one_pass(i, film):
+        sample_id = jnp.full((n_pix,), i, jnp.uint32)
+        jx = rng.uniform(seed_u, pixel_id, sample_id, 0, Decision.PIXEL_X)
+        jy = rng.uniform(seed_u, pixel_id, sample_id, 0, Decision.PIXEL_Y)
+        lx = rng.uniform(seed_u, pixel_id, sample_id, 0, Decision.LENS_U)
+        ly = rng.uniform(seed_u, pixel_id, sample_id, 0, Decision.LENS_V)
+        rays = sample_camera_rays(
+            scene.camera, px_i + jx, py_i + jy, width, height, lx, ly
+        )
+        c, lambdas = _trace_core(
+            scene, rays.o, rays.d, pixel_id, sample_id, seed_u, max_depth
+        )
+        weight = rays.weight[..., None] * c
+        if spectral:
+            select_wl_pdf = NUM_SPECTRAL_SAMPLES / (WL_HI - WL_LO)
+            return film + bin_to_strata(lambdas, weight / select_wl_pdf)
+        return film + weight
+
+    film = jax.lax.fori_loop(
+        0, spp, one_pass, jnp.zeros((n_pix, s_film), jnp.float32)
+    )
+    film = (film / spp).reshape(height, width, s_film)
+    if spectral:
+        film = strata_to_rgb(film)
+    return film

@@ -38,11 +38,12 @@ from .types import (
 @dataclasses.dataclass
 class _STex:
     kind: int
-    value: np.ndarray          # (S,)
+    value: np.ndarray          # (S,) RGB — or (3,) Meng-Simon uvs in spectral mode
     value2: np.ndarray         # (S,)
     image_id: int = -1
     map_scale: tuple = (1.0, 1.0)
     map_offset: tuple = (0.0, 0.0)
+    curve_id: int = -1
 
 
 @dataclasses.dataclass
@@ -72,8 +73,10 @@ class _Material:
 class SceneBuilder:
     """Accumulates host-side scene data, then `build()`s the device pytree."""
 
-    def __init__(self, spectral_dim: int = 3):
-        self.s = spectral_dim
+    def __init__(self, spectral_dim: int = 3, spectral: bool = False):
+        self.spectral = spectral
+        self.s = 3 if spectral else spectral_dim
+        self.curves: list[tuple[np.ndarray, np.ndarray]] = []
         self.stex: list[_STex] = []
         self.ftex: list[_FTex] = []
         self.images: list[np.ndarray] = []
@@ -91,16 +94,82 @@ class SceneBuilder:
         self.env_scale: float = 1.0
 
     # -- textures -----------------------------------------------------------
-    def _spec(self, v) -> np.ndarray:
+    def _spec(self, v, illuminant: bool = False) -> np.ndarray:
         a = np.asarray(v, np.float32).reshape(-1)
         if a.size == 1:
-            a = np.full((self.s,), a[0], np.float32)
+            a = np.full((3,), a[0], np.float32)
         assert a.size == self.s, f"expected spectrum dim {self.s}, got {a.size}"
+        if self.spectral:
+            return self._rgb_to_uvs(a, illuminant)
         return a
 
-    def add_stex_const(self, value) -> int:
-        self.stex.append(_STex(STexKind.CONST, self._spec(value), np.zeros(self.s, np.float32)))
+    @staticmethod
+    def _rgb_to_uvs(rgb: np.ndarray, illuminant: bool) -> np.ndarray:
+        """Host-side Upsampling::sRGB_to_uvs (Spectrum.h:148-170) with the
+        reflectance EqualEnergyReflectance normalization applied (so a (1,1,1)
+        reflectance evaluates to a flat spectrum of 1)."""
+        from ..spectrum.spectral import _sRGB_E_to_XYZ, _sRGB_to_XYZ, upsampling_tables
+
+        m = _sRGB_to_XYZ if illuminant else _sRGB_E_to_XYZ
+        xyz = m @ rgb.astype(np.float32)
+        b = float(xyz.sum())
+        if b == 0:
+            xy = np.array([1 / 3, 1 / 3], np.float32)
+        else:
+            xy = (xyz[:2] / b).astype(np.float32)
+        u = 16.730260708356887 * xy[0] + 7.7801960340706 * xy[1] - 2.170152247475828
+        v = -7.530081094743006 * xy[0] + 16.192422314095225 * xy[1] + 1.1125529268825947
+        scale = b if illuminant else b / upsampling_tables()["eer"]
+        return np.array([u, v, scale], np.float32)
+
+    def add_stex_const(self, value, illuminant: bool = False) -> int:
+        self.stex.append(
+            _STex(STexKind.CONST, self._spec(value, illuminant),
+                  np.zeros(self.s, np.float32))
+        )
         return len(self.stex) - 1
+
+    def add_curve(self, wls, values) -> int:
+        """Register a tabulated SPD (wavelengths nm ascending + values)."""
+        self.curves.append(
+            (np.asarray(wls, np.float32), np.asarray(values, np.float32))
+        )
+        return len(self.curves) - 1
+
+    def add_stex_curve(self, curve_id: int, scale: float = 1.0) -> int:
+        v = np.zeros(self.s, np.float32)
+        v[0] = scale
+        self.stex.append(
+            _STex(STexKind.CURVE, v, np.zeros(self.s, np.float32),
+                  curve_id=curve_id)
+        )
+        return len(self.stex) - 1
+
+    def add_stex_d65(self, scale: float = 1.0) -> int:
+        """Spectrum("ID": "D65") (API.cpp:286-441)."""
+        from ..spectrum.spectral import _raw
+
+        d = _raw("cie.npz")
+        wls = np.linspace(300.0, 830.0, d["d65"].shape[0])
+        return self.add_stex_curve(self.add_curve(wls, d["d65"]), scale)
+
+    def add_stex_ior(self, name: str, component: int = 0, scale: float = 1.0) -> int:
+        """Spectrum("ID": name, comp): measured eta (0) / k (1) curves
+        (spectrum_library.cpp SpectrumLibrary::IORs)."""
+        from ..spectrum.spectral import ior_spectrum
+
+        lambdas, etas, ks = ior_spectrum(name)
+        vals = etas if component == 0 else ks
+        return self.add_stex_curve(self.add_curve(lambdas, vals), scale)
+
+    def add_stex_colorchecker(self, patch: int, scale: float = 1.0) -> int:
+        from ..spectrum.spectral import _raw
+
+        d = _raw("cie.npz")
+        wls = np.linspace(380.0, 730.0, 36)
+        return self.add_stex_curve(
+            self.add_curve(wls, d["colorchecker"][patch]), scale
+        )
 
     def add_stex_checker(self, v0, v1, map_scale=(1, 1), map_offset=(0, 0)) -> int:
         self.stex.append(
@@ -193,10 +262,7 @@ class SceneBuilder:
     def add_ashikhmin(self, rs_stex: int, rd_stex: int, nu_ftex: int,
                       nv_ftex: int) -> int:
         return self._add_material(
-            [
-                _Lobe(LobeKind.ASHIKHMIN_SPECULAR, (rs_stex, -1, -1), (nu_ftex, nv_ftex)),
-                _Lobe(LobeKind.ASHIKHMIN_DIFFUSE, (rd_stex, rs_stex, -1)),
-            ]
+            [_Lobe(LobeKind.ASHIKHMIN, (rs_stex, rd_stex, -1), (nu_ftex, nv_ftex))]
         )
 
     def add_mixed(self, mat0: int, mat1: int, ratio_ftex: int) -> int:
@@ -348,6 +414,20 @@ class SceneBuilder:
         else:
             atlas = np.zeros((0, 1, 1, 4), np.float32)
             image_hw = np.zeros((0, 2), np.int32)
+        if self.curves:
+            lmax = max(len(c[0]) for c in self.curves)
+            curves_wl = np.zeros((len(self.curves), lmax), np.float32)
+            curves_v = np.zeros((len(self.curves), lmax), np.float32)
+            for i, (wl, v) in enumerate(self.curves):
+                curves_wl[i, : len(wl)] = wl
+                curves_wl[i, len(wl):] = wl[-1] + np.arange(1, lmax - len(wl) + 1)
+                curves_v[i, : len(v)] = v
+                curves_v[i, len(v):] = v[-1]
+            curves_wl_j = jnp.asarray(curves_wl)
+            curves_v_j = jnp.asarray(curves_v)
+        else:
+            curves_wl_j = jnp.zeros((0, 1), jnp.float32)
+            curves_v_j = jnp.zeros((0, 1), jnp.float32)
         stex = SpectrumTextures(
             kind=jnp.asarray([t.kind for t in stexs], jnp.int32),
             value=jnp.asarray(np.stack([t.value for t in stexs])),
@@ -357,6 +437,10 @@ class SceneBuilder:
             map_offset=jnp.asarray([t.map_offset for t in stexs], jnp.float32),
             images=jnp.asarray(atlas),
             image_hw=jnp.asarray(image_hw),
+            curve_id=jnp.asarray([t.curve_id for t in stexs], jnp.int32),
+            curves_wl=curves_wl_j,
+            curves_v=curves_v_j,
+            spectral=self.spectral,
         )
         ftex = FloatTextures(
             kind=jnp.asarray([t.kind for t in ftexs], jnp.int32),

@@ -65,20 +65,27 @@ def cornell_box_spheres(
     metal: bool = True,
     glass: bool = True,
     use_bvh: bool = True,
+    spectral: bool = False,
 ) -> FlatScene:
-    """TestScenes/Cornell_Box_Spheres.txt as a FlatScene (RGB mode).
+    """TestScenes/Cornell_Box_Spheres.txt as a FlatScene.
 
-    D65*4 emitter approximated by its RGB white point times the scale; the
-    aluminium/BK7 spectral IOR curves become their RGB-averaged values until
-    the spectral pipeline lands (spectrum/upsample.py).
+    In spectral mode the materials match the scene file exactly: D65*scale
+    emitter, measured Aluminium eta/k, Air/BK7 glass (Cornell_Box_Spheres.txt
+    :94-127). In RGB mode the emitter is an RGB white of `light_scale` and
+    the IOR curves are RGB-averaged constants.
     """
-    b = SceneBuilder(spectral_dim=3)
+    b = SceneBuilder(spectral=spectral)
 
     red = b.add_matte(b.add_stex_const((0.75, 0.25, 0.25)))
     blue = b.add_matte(b.add_stex_const((0.25, 0.25, 0.75)))
     white = b.add_matte(b.add_stex_const((0.75, 0.75, 0.75)))
     light_scatter = b.add_matte(b.add_stex_const((0.9, 0.9, 0.9)))
-    emit = b.add_stex_const((light_scale, light_scale, light_scale))
+    if spectral:
+        # Scene file uses Spectrum("ID": "D65") * 4; D65 values are ~100 so
+        # keep the reference's own scale of 4 rather than light_scale.
+        emit = b.add_stex_d65(scale=0.13 * light_scale)
+    else:
+        emit = b.add_stex_const((light_scale, light_scale, light_scale))
     light_mat = b.add_emitter(light_scatter, emit)
 
     quads = [
@@ -105,9 +112,13 @@ def cornell_box_spheres(
         b.add_mesh(pos, nrm, tan, uv, tris, mat)
 
     if metal:
-        # Aluminium (RGB-averaged eta/k from the reference's spectral library).
-        eta = b.add_stex_const((1.345, 0.965, 0.617))
-        k = b.add_stex_const((7.47, 6.40, 5.30))
+        if spectral:
+            eta = b.add_stex_ior("Aluminium", 0)
+            k = b.add_stex_ior("Aluminium", 1)
+        else:
+            # RGB-averaged eta/k from the measured aluminium curves.
+            eta = b.add_stex_const((1.345, 0.965, 0.617))
+            k = b.add_stex_const((7.47, 6.40, 5.30))
         coeff = b.add_stex_const((1.0, 1.0, 1.0))
         metal_mat = b.add_metal(coeff, eta, k)
         pos, nrm, tan, uv, tris = uv_sphere((-0.7, 0.5, -1.05), 0.5,
@@ -116,8 +127,12 @@ def cornell_box_spheres(
 
     if glass:
         coeff = b.add_stex_const((0.999, 0.999, 0.999))
-        eta_ext = b.add_stex_const((1.00036, 1.00021, 1.00071))
-        eta_int = b.add_stex_const((1.51, 1.516, 1.526))  # BK7-ish per channel
+        if spectral:
+            eta_ext = b.add_stex_ior("Air", 0)
+            eta_int = b.add_stex_ior("Glass_BK7", 0)
+        else:
+            eta_ext = b.add_stex_const((1.00036, 1.00021, 1.00071))
+            eta_int = b.add_stex_const((1.51, 1.516, 1.526))  # BK7-ish
         glass_mat = b.add_glass(coeff, eta_ext, eta_int)
         pos, nrm, tan, uv, tris = uv_sphere((0.7, 0.5, 0.0), 0.5,
                                             sphere_res, sphere_res * 2)

@@ -187,6 +187,93 @@ def eval_spectrum_texture(
     return jnp.where((tex_id >= 0)[..., None], out, jnp.zeros_like(out))
 
 
+def eval_spectrum_texture_spectral(
+    stex: SpectrumTextures,
+    tex_id: Array,
+    uv: Array,
+    lambdas: Array,
+    wpos: Array | None = None,
+) -> Array:
+    """Spectral-mode texture evaluation: returns per-wavelength samples (R, N).
+
+    CONST/CHECKER store Meng-Simon (u, v, scale) triples in value/value2
+    (pre-converted at build time exactly like the reference's uvs16Fx3 texel
+    format, Image.h:24-25); CURVE interpolates a tabulated SPD; IMAGE fetches
+    RGB texels and converts on the fly (sRGB->uvs->basis spectra); VORONOI
+    draws a cell RGB and upsamples (voronoi_textures.cpp:75-80).
+    """
+    from ..spectrum.spectral import (
+        eval_irregular_spectrum,
+        rgb_to_spectrum,
+        upsample_eval,
+    )
+
+    tid = jnp.clip(tex_id, 0, stex.kind.shape[0] - 1)
+    kind = stex.kind[tid]
+    tc = uv * stex.map_scale[tid] + stex.map_offset[tid]
+
+    def upsample_uvs(uvs: Array) -> Array:
+        return upsample_eval(uvs[..., 0], uvs[..., 1], uvs[..., 2], lambdas)
+
+    out = upsample_uvs(stex.value[tid])  # CONST path
+
+    sel = jnp.mod(
+        (tc[..., 0] * 2).astype(jnp.int32) + (tc[..., 1] * 2).astype(jnp.int32), 2
+    )
+    checker_uvs = jnp.where((sel == 0)[..., None], stex.value[tid], stex.value2[tid])
+    out = jnp.where(
+        (kind == STexKind.CHECKER)[..., None], upsample_uvs(checker_uvs), out
+    )
+
+    if stex.curves_wl is not None and stex.curves_wl.shape[0] > 0:
+        cid = jnp.clip(stex.curve_id[tid], 0, stex.curves_wl.shape[0] - 1)
+        wls_tab = stex.curves_wl[cid]  # (R, L)
+        vals_tab = stex.curves_v[cid]
+        curve = jax.vmap(eval_irregular_spectrum)(wls_tab, vals_tab, lambdas)
+        curve = curve * stex.value[tid][..., 0:1]  # scale stored in value[0]
+        out = jnp.where((kind == STexKind.CURVE)[..., None], curve, out)
+
+    if stex.images.shape[0] > 0:
+        rgba = _image_fetch(
+            stex.images, stex.image_hw, stex.image_id[tid], tc[..., 0], tc[..., 1]
+        )
+        img_spec = rgb_to_spectrum(rgba[..., :3], lambdas) * stex.value[tid][..., 2:3]
+        out = jnp.where((kind == STexKind.IMAGE)[..., None], img_spec, out)
+
+    p3 = (
+        wpos
+        if wpos is not None
+        else jnp.concatenate([tc, jnp.zeros_like(tc[..., :1])], axis=-1)
+    )
+    is_vor = kind == STexKind.VORONOI
+    vor = jax.lax.cond(
+        jnp.any(is_vor),
+        lambda: rgb_to_spectrum(
+            _voronoi_rgb(p3, stex.value[tid][..., 0], stex.value2[tid][..., 0]),
+            lambdas,
+        ),
+        lambda: jnp.zeros_like(out),
+    )
+    out = jnp.where(is_vor[..., None], vor, out)
+
+    return jnp.where((tex_id >= 0)[..., None], out, jnp.zeros_like(out))
+
+
+def eval_stex(
+    stex: SpectrumTextures,
+    tex_id: Array,
+    uv: Array,
+    lambdas: Array | None = None,
+    wpos: Array | None = None,
+) -> Array:
+    """Mode dispatch: RGB (S=3) vs spectral (per-wavelength) evaluation.
+    `stex.spectral` is static metadata, so jit specializes one branch."""
+    if stex.spectral:
+        assert lambdas is not None, "spectral scene requires wavelength samples"
+        return eval_spectrum_texture_spectral(stex, tex_id, uv, lambdas, wpos)
+    return eval_spectrum_texture(stex, tex_id, uv, wpos)
+
+
 def eval_float_texture(ftex: FloatTextures, tex_id: Array, uv: Array) -> Array:
     """Evaluate float textures. tex_id: (R,) (-1 returns 0). Returns (R,)."""
     tid = jnp.clip(tex_id, 0, ftex.kind.shape[0] - 1)

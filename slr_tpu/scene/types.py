@@ -37,8 +37,9 @@ class LobeKind(enum.IntEnum):
     MICROFACET_REFLECTION = 5  # MicrofacetBRDF     (MicrofacetBSDF.cpp)
     MICROFACET_SCATTERING = 6  # MicrofacetBSDF     (MicrofacetBSDF.cpp)
     WARD = 7              # ModifiedWardDurBRDF     (ModifiedWardDurBRDF.cpp)
-    ASHIKHMIN_SPECULAR = 8  # AshikhminSpecularBRDF (AshikhminShirleyBRDF.cpp)
-    ASHIKHMIN_DIFFUSE = 9   # AshikhminDiffuseBRDF  (AshikhminShirleyBRDF.cpp)
+    ASHIKHMIN = 8         # AshikhminShirleyBRDF: aniso Phong lobe + coupled
+                          # diffuse with internal 2-component MIS
+                          # (AshikhminShirleyBRDF.cpp:12-170)
     FLIPPED_LAMBERT = 10  # InverseBSDF(Lambert) for back-face emitters
 
 
@@ -49,6 +50,7 @@ class STexKind(enum.IntEnum):
     IMAGE = 1
     CHECKER = 2
     VORONOI = 3
+    CURVE = 4   # tabulated SPD (D65, IOR eta/k, ColorChecker patches)
 
 
 class FTexKind(enum.IntEnum):
@@ -83,6 +85,14 @@ class SpectrumTextures(struct.PyTreeNode):
     map_offset: Array
     images: Array
     image_hw: Array
+    # Spectral-mode extensions. In spectral scenes `value`/`value2` hold
+    # Meng-Simon (u, v, scale) triples instead of RGB (the reference converts
+    # RGB resources to uvs at load time, Image.h:24-25); tabulated SPDs live
+    # in a padded curve table addressed by `curve_id`.
+    curve_id: Array = None    # (C,) int32 into curves (-1 unused)
+    curves_wl: Array = None   # (K, L) wavelengths (padded, ascending)
+    curves_v: Array = None    # (K, L) values
+    spectral: bool = struct.field(pytree_node=False, default=False)
 
 
 class FloatTextures(struct.PyTreeNode):

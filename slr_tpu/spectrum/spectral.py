@@ -1,0 +1,362 @@
+"""Full spectral pipeline: hero-wavelength sampling, Meng-Simon upsampling,
+continuous-spectrum evaluation, and the 16-strata sensor reduction.
+
+Reference semantics reproduced here:
+  - WavelengthSamples::createWithEqualOffsets (SpectrumTypes.h:54-64):
+    N=16 stratified wavelengths over [360, 830]nm, hero index from uLambda,
+    PDF = N / range.
+  - UpsampledContinuousSpectrum::evaluate (SpectrumTypes.h:239-339): uv-grid
+    cell lookup in the Meng-Simon 12x14 grid; inside cells do 4-point
+    bilinear interpolation of 95-sample basis spectra, boundary cells walk a
+    triangle fan and use barycentric weights. Vectorized here: the fan walk
+    becomes a masked unrolled loop over at most 5 triangles.
+  - Upsampling::sRGB_to_uvs (Spectrum.h:148-170), xy_to_uv (:136-141).
+  - DiscretizedSpectrum strata CMFs (SpectrumTypes.h:744-800) and
+    SpectrumStorage::add stratum binning (:826-835): the per-stratum
+    integrated CMFs come from trapezoid integration of the 1nm CIE tables.
+  - Regular/Irregular continuous spectra (libSLR/Core/distributions-adjacent
+    RegularContinuousSpectrum / IrregularContinuousSpectrum): linear interp.
+
+Data tables live in spectrum/data/*.npz (extracted public data; see
+tools/extract_spectral_data.py).
+"""
+from __future__ import annotations
+
+import functools
+import os
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.math3d import Array
+
+WL_LO = 360.0
+WL_HI = 830.0
+NUM_SPECTRAL_SAMPLES = 16   # references.h:39 NumSpectralSamples
+NUM_STRATA = 16             # references.h:40 NumStrataForStorage
+GRID_W = 12
+GRID_H = 14
+MAX_FAN = 6
+
+_DATA_DIR = os.path.join(os.path.dirname(__file__), "data")
+
+
+@functools.cache
+def _raw(name: str):
+    return np.load(os.path.join(_DATA_DIR, name))
+
+
+@functools.cache
+def upsampling_tables():
+    """Meng-Simon grid as device arrays (jnp)."""
+    d = _raw("upsampling.npz")
+    return {
+        "inside": jnp.asarray(d["grid_inside"].astype(np.int32)),
+        "num_points": jnp.asarray(d["grid_num_points"].astype(np.int32)),
+        "idx": jnp.asarray(d["grid_idx"].astype(np.int32)),
+        "dp_uv": jnp.asarray(d["dp_uv"]),
+        "dp_spectra": jnp.asarray(d["dp_spectra"]),
+        "eer": float(d["equal_energy_reflectance"]),
+    }
+
+
+@functools.cache
+def cie_tables():
+    d = _raw("cie.npz")
+    return {
+        "xbar": jnp.asarray(d["xbar"]),
+        "ybar": jnp.asarray(d["ybar"]),
+        "zbar": jnp.asarray(d["zbar"]),
+        "d65": jnp.asarray(d["d65"]),
+        "colorchecker": jnp.asarray(d["colorchecker"]),
+    }
+
+
+@functools.cache
+def strata_cmfs() -> tuple[np.ndarray, np.ndarray, np.ndarray, float]:
+    """Per-stratum integrated CMFs (DiscretizedSpectrum::init semantics):
+    trapezoid-integrate the 1nm CMF tables into NUM_STRATA bins over
+    [360, 830]; integralCMF = sum of the ybar strata."""
+    d = _raw("cie.npz")
+    n = d["xbar"].shape[0]
+    wl = np.linspace(WL_LO, WL_HI, n)
+    bins = np.linspace(WL_LO, WL_HI, NUM_STRATA + 1)
+    out = []
+    for key in ("xbar", "ybar", "zbar"):
+        f = d[key].astype(np.float64)
+        acc = np.zeros(NUM_STRATA)
+        # trapezoid integration with bin-boundary splitting
+        for i in range(n - 1):
+            a, b = wl[i], wl[i + 1]
+            fa, fb = f[i], f[i + 1]
+            ia = min(int((a - WL_LO) / (WL_HI - WL_LO) * NUM_STRATA), NUM_STRATA - 1)
+            ib = min(int((b - WL_LO) / (WL_HI - WL_LO) * NUM_STRATA), NUM_STRATA - 1)
+            if ia == ib:
+                acc[ia] += 0.5 * (fa + fb) * (b - a)
+            else:
+                mid = bins[ia + 1]
+                t = (mid - a) / (b - a)
+                fm = fa * (1 - t) + fb * t
+                acc[ia] += 0.5 * (fa + fm) * (mid - a)
+                acc[ib] += 0.5 * (fm + fb) * (b - mid)
+        out.append(acc.astype(np.float32))
+    integral = float(out[1].sum())
+    return out[0], out[1], out[2], integral
+
+
+class WavelengthSamples(NamedTuple):
+    lambdas: Array   # (R, N) wavelengths in nm
+    hero: Array      # (R,) int32 selected hero index
+    pdf: Array       # () or (R,) selection pdf = N / range
+
+
+def sample_wavelengths(offset: Array, u_select: Array) -> WavelengthSamples:
+    """Stratified hero-wavelength set (SpectrumTypes.h:54-64)."""
+    n = NUM_SPECTRAL_SAMPLES
+    i = jnp.arange(n, dtype=jnp.float32)
+    lambdas = WL_LO + (WL_HI - WL_LO) * (i[None, :] + offset[..., None]) / n
+    hero = jnp.minimum((u_select * n).astype(jnp.int32), n - 1)
+    pdf = jnp.full_like(offset, n / (WL_HI - WL_LO))
+    return WavelengthSamples(lambdas=lambdas, hero=hero, pdf=pdf)
+
+
+# ---------------------------------------------------------------------------
+# RGB -> uvs (Meng-Simon coordinates)
+# ---------------------------------------------------------------------------
+
+_sRGB_E_to_XYZ = np.array(
+    [[0.4969, 0.3391, 0.1640], [0.2562, 0.6782, 0.0656], [0.0233, 0.1130, 0.8637]],
+    np.float32,
+)
+_sRGB_to_XYZ = np.array(
+    [
+        [0.4124564, 0.3575761, 0.1804375],
+        [0.2126729, 0.7151522, 0.0721750],
+        [0.0193339, 0.1191920, 0.9503041],
+    ],
+    np.float32,
+)
+
+
+def xy_to_uv(xy: Array) -> Array:
+    """Spectrum.h:136-141."""
+    u = 16.730260708356887 * xy[..., 0] + 7.7801960340706 * xy[..., 1] - 2.170152247475828
+    v = -7.530081094743006 * xy[..., 0] + 16.192422314095225 * xy[..., 1] + 1.1125529268825947
+    return jnp.stack([u, v], axis=-1)
+
+
+def srgb_to_uvs(rgb: Array, illuminant: bool = False) -> Array:
+    """rgb (..., 3) -> (u, v, scale) per Upsampling::sRGB_to_uvs
+    (Spectrum.h:148-170). Reflectance/IoR use the equal-energy sRGB matrix."""
+    m = jnp.asarray(_sRGB_to_XYZ if illuminant else _sRGB_E_to_XYZ)
+    xyz = jnp.einsum("ij,...j->...i", m, rgb)
+    b = jnp.sum(xyz, axis=-1)
+    safe_b = jnp.where(b == 0, 1.0, b)
+    xy = jnp.stack(
+        [
+            jnp.where(b == 0, 1.0 / 3, xyz[..., 0] / safe_b),
+            jnp.where(b == 0, 1.0 / 3, xyz[..., 1] / safe_b),
+        ],
+        axis=-1,
+    )
+    uv = xy_to_uv(xy)
+    return jnp.concatenate([uv, b[..., None]], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Upsampled spectrum evaluation
+# ---------------------------------------------------------------------------
+
+def upsample_eval(u: Array, v: Array, scale: Array, lambdas: Array) -> Array:
+    """Evaluate the Meng-Simon upsampled spectrum at `lambdas`.
+
+    u/v/scale: (R,) grid coords + brightness; lambdas: (R, N) nm.
+    Returns (R, N). Vectorized UpsampledContinuousSpectrum::evaluate
+    (SpectrumTypes.h:239-339).
+    """
+    t = upsampling_tables()
+    in_grid = (u >= 0) & (u < GRID_W) & (v >= 0) & (v < GRID_H)
+    uc = jnp.clip(u, 0.0, GRID_W - 1e-4)
+    vc = jnp.clip(v, 0.0, GRID_H - 1e-4)
+    ui = uc.astype(jnp.int32)
+    vi = vc.astype(jnp.int32)
+    cell = ui + GRID_W * vi
+    inside = t["inside"][cell] == 1
+    num_points = t["num_points"][cell]
+    indices = t["idx"][cell]  # (R, 6)
+
+    # --- inside: bilinear over the 4 quad corners --------------------------
+    s = uc - ui
+    tt = vc - vi
+    w_in = jnp.stack(
+        [(1 - s) * (1 - tt), s * (1 - tt), (1 - s) * tt, s * tt], axis=-1
+    )  # (R, 4)
+    idx_in = indices[..., :4]
+
+    # --- boundary: triangle fan around idx[0] ------------------------------
+    dp_uv = t["dp_uv"]
+    p0 = dp_uv[jnp.clip(indices[..., 0], 0, dp_uv.shape[0] - 1)]  # (R, 2)
+    ex = uc - p0[..., 0]
+    ey = vc - p0[..., 1]
+
+    found = jnp.zeros(u.shape, bool)
+    w_tri = jnp.zeros(u.shape + (3,), jnp.float32)
+    idx_tri = jnp.zeros(u.shape + (3,), jnp.int32)
+
+    e_prev = dp_uv[jnp.clip(indices[..., 1], 0, dp_uv.shape[0] - 1)] - p0  # e0
+    uu = e_prev[..., 0] * ey - ex * e_prev[..., 1]
+    for i in range(1, MAX_FAN):
+        # idx_sel = indices[i % (numPoints - 1) + 1]
+        denom = jnp.maximum(num_points - 1, 1)
+        sel_slot = jnp.mod(i, denom) + 1
+        sel = jnp.take_along_axis(indices, sel_slot[..., None], axis=-1)[..., 0]
+        prev_slot = jnp.full_like(sel_slot, i)
+        prev = jnp.take_along_axis(
+            indices, jnp.minimum(prev_slot, MAX_FAN - 1)[..., None], axis=-1
+        )[..., 0]
+        e1 = dp_uv[jnp.clip(sel, 0, dp_uv.shape[0] - 1)] - p0
+        vv = ex * e1[..., 1] - e1[..., 0] * ey
+        area = e_prev[..., 0] * e1[..., 1] - e1[..., 0] * e_prev[..., 1]
+        safe_area = jnp.where(area == 0, 1.0, area)
+        bu = uu / safe_area
+        bv = vv / safe_area
+        bw = 1.0 - bu - bv
+        valid_iter = (i < num_points) & jnp.logical_not(found)
+        hit = valid_iter & (bu >= -1e-6) & (bv >= -1e-6) & (bw >= -1e-6) & (area != 0)
+        w_tri = jnp.where(
+            hit[..., None], jnp.stack([bu, bv, bw], axis=-1), w_tri
+        )
+        idx_tri = jnp.where(
+            hit[..., None],
+            jnp.stack([sel, prev, indices[..., 0]], axis=-1),
+            idx_tri,
+        )
+        found = found | hit
+        # advance fan: uu = -vv; e0 = e1 (only where still searching)
+        cont = valid_iter & jnp.logical_not(hit)
+        uu = jnp.where(cont, -vv, uu)
+        e_prev = jnp.where(cont[..., None], e1, e_prev)
+
+    # --- gather basis spectra at the sample wavelengths --------------------
+    spectra = t["dp_spectra"]  # (P, 95)
+    n_basis = spectra.shape[1]
+    p = (lambdas - WL_LO) / (WL_HI - WL_LO)
+    sbinf = jnp.clip(p, 0.0, 1.0) * (n_basis - 1)
+    sbin = jnp.minimum(sbinf.astype(jnp.int32), n_basis - 1)
+    sbin_next = jnp.minimum(sbin + 1, n_basis - 1)
+    frac = sbinf - sbin
+
+    def interp(point_idx: Array) -> Array:
+        """point_idx: (R,) -> spectrum samples (R, N)."""
+        sp = spectra[jnp.clip(point_idx, 0, spectra.shape[0] - 1)]  # (R, 95)
+        lo = jnp.take_along_axis(sp, sbin, axis=-1)
+        hi = jnp.take_along_axis(sp, sbin_next, axis=-1)
+        return lo * (1 - frac) + hi * frac
+
+    val_in = sum(
+        w_in[..., j:j + 1] * interp(idx_in[..., j]) for j in range(4)
+    )
+    val_tri = sum(
+        w_tri[..., j:j + 1] * interp(idx_tri[..., j]) for j in range(3)
+    )
+    val = jnp.where(inside[..., None], val_in, val_tri)
+    ok = in_grid & (inside | found)
+    return jnp.where(ok[..., None], val, 0.0) * scale[..., None]
+
+
+def rgb_to_spectrum(rgb: Array, lambdas: Array, illuminant: bool = False) -> Array:
+    """Full RGB -> spectrum chain for reflectance-type inputs.
+
+    The reference pre-converts texels to uvs with s/EqualEnergyReflectance
+    (Image.h uvs16Fx3 path; image_textures.cpp:24-27); the same normalization
+    makes rgb (1,1,1) evaluate to a flat reflectance of 1.
+    """
+    uvs = srgb_to_uvs(rgb, illuminant=illuminant)
+    t = upsampling_tables()
+    scale = uvs[..., 2] / (1.0 if illuminant else t["eer"])
+    return upsample_eval(uvs[..., 0], uvs[..., 1], scale, lambdas)
+
+
+# ---------------------------------------------------------------------------
+# Regular / irregular tabulated spectra (D65, IORs, ColorChecker)
+# ---------------------------------------------------------------------------
+
+def eval_regular_spectrum(values: Array, wl_lo: float, wl_hi: float,
+                          lambdas: Array) -> Array:
+    """Linear interpolation of a regularly sampled SPD; zero outside."""
+    n = values.shape[-1]
+    x = (lambdas - wl_lo) / (wl_hi - wl_lo) * (n - 1)
+    xi = jnp.clip(x.astype(jnp.int32), 0, n - 2)
+    frac = jnp.clip(x - xi, 0.0, 1.0)
+    v = values[xi] * (1 - frac) + values[xi + 1] * frac
+    return jnp.where((lambdas >= wl_lo) & (lambdas <= wl_hi), v, 0.0)
+
+
+def eval_irregular_spectrum(wls: Array, values: Array, lambdas: Array) -> Array:
+    """Piecewise-linear interp over irregular sample positions."""
+    idx = jnp.clip(jnp.searchsorted(wls, lambdas) - 1, 0, wls.shape[0] - 2)
+    lo = wls[idx]
+    hi = wls[idx + 1]
+    frac = jnp.clip((lambdas - lo) / jnp.maximum(hi - lo, 1e-6), 0.0, 1.0)
+    v = values[idx] * (1 - frac) + values[idx + 1] * frac
+    return jnp.where((lambdas >= wls[0]) & (lambdas <= wls[-1]), v, 0.0)
+
+
+@functools.cache
+def ior_spectrum(name: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(lambdas, etas, ks) arrays for a named IOR (SpectrumLibrary::IORs)."""
+    d = _raw("iors.npz")
+    return d[f"{name}_lambdas"], d[f"{name}_etas"], d[f"{name}_ks"]
+
+
+def d65_spectrum(lambdas: Array) -> Array:
+    return eval_regular_spectrum(cie_tables()["d65"], 300.0, 830.0, lambdas)
+
+
+def colorchecker_spectrum(patch: int, lambdas: Array) -> Array:
+    return eval_regular_spectrum(
+        cie_tables()["colorchecker"][patch], 380.0, 730.0, lambdas
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sensor: stratum binning + XYZ/sRGB development
+# ---------------------------------------------------------------------------
+
+def bin_to_strata(lambdas: Array, values: Array) -> Array:
+    """SpectrumStorage::add (SpectrumTypes.h:826-835): scatter the N hero
+    samples into 16 wavelength strata, scaled by strata/range. Returns (R, 16)."""
+    rec_bin_width = NUM_STRATA / (WL_HI - WL_LO)
+    sbin = jnp.minimum(
+        ((lambdas - WL_LO) / (WL_HI - WL_LO) * NUM_STRATA).astype(jnp.int32),
+        NUM_STRATA - 1,
+    )
+    onehot = jax.nn.one_hot(sbin, NUM_STRATA, dtype=values.dtype)  # (R, N, 16)
+    return jnp.einsum("rn,rns->rs", values * rec_bin_width, onehot)
+
+
+def strata_to_rgb(strata: Array) -> Array:
+    """DiscretizedSpectrum::getRGB (SpectrumTypes.h:700-722): strata -> XYZ
+    via integrated CMFs / integralCMF -> linear sRGB."""
+    xb, yb, zb, integral = strata_cmfs()
+    xyz = jnp.stack(
+        [
+            strata @ jnp.asarray(xb),
+            strata @ jnp.asarray(yb),
+            strata @ jnp.asarray(zb),
+        ],
+        axis=-1,
+    ) / integral
+    m = jnp.asarray(
+        np.array(
+            [
+                [3.2404542, -1.5371385, -0.4985314],
+                [-0.9692660, 1.8760108, 0.0415560],
+                [0.0556434, -0.2040259, 1.0572252],
+            ],
+            np.float32,
+        )
+    )
+    return jnp.einsum("ij,...j->...i", m, xyz)

@@ -93,6 +93,184 @@ class TestLambert:
         np.testing.assert_allclose(est.mean(), 0.6, rtol=2e-2)
 
 
+class TestMicrofacet:
+    def _batch(self, alpha, n=1, kind=None):
+        from slr_tpu.scene.types import LobeKind as LK
+
+        return make_batch(
+            kind or LK.MICROFACET_REFLECTION,
+            s0=(1, 1, 1), s1=(1.345, 0.965, 0.617), s2=(7.47, 6.40, 5.30),
+            f0=alpha, n=n,
+        )
+
+    def test_ggx_D_normalization(self):
+        """Integral of D(m) cos(m) over the hemisphere must be 1."""
+        rs = np.random.RandomState(0)
+        n = 200000
+        u = rs.rand(2, n).astype(np.float32)
+        # uniform hemisphere sampling
+        from slr_tpu.core.sampling import uniform_sample_hemisphere
+
+        m = uniform_sample_hemisphere(jnp.asarray(u[0]), jnp.asarray(u[1]))
+        alpha = jnp.full((n,), 0.3)
+        d = np.asarray(lb.ggx_D(alpha, m))
+        integral = (d * np.asarray(m[..., 2])).mean() * 2 * np.pi
+        np.testing.assert_allclose(integral, 1.0, rtol=0.05)
+
+    def test_vndf_sample_pdf_consistency(self):
+        n = 20000
+        rs = np.random.RandomState(1)
+        v = jnp.broadcast_to(
+            jnp.asarray([0.4, 0.1, np.sqrt(1 - 0.16 - 0.01)], jnp.float32), (n, 3)
+        )
+        alpha = jnp.full((n,), 0.25)
+        m, pdf = lb.ggx_sample_vndf(
+            alpha, v, jnp.asarray(rs.rand(n), jnp.float32),
+            jnp.asarray(rs.rand(n), jnp.float32)
+        )
+        pdf2 = np.asarray(lb.ggx_vndf_pdf(alpha, v, m))
+        np.testing.assert_allclose(np.asarray(pdf), pdf2, rtol=1e-3)
+        assert (np.asarray(m[..., 2]) > 0).all()
+
+    def test_brdf_sample_eval_pdf_agree(self):
+        n = 20000
+        rs = np.random.RandomState(2)
+        b = self._batch(0.3, n=n)
+        wo = jnp.broadcast_to(jnp.asarray([0.3, -0.2, np.sqrt(1 - 0.13)],
+                                          jnp.float32), (n, 3))
+        out = lb.microfacet_reflection_sample(
+            b, wo, jnp.asarray(rs.rand(n), jnp.float32),
+            jnp.asarray(rs.rand(n), jnp.float32)
+        )
+        ok = np.asarray(out.pdf) > 0
+        pdf2 = np.asarray(lb.microfacet_reflection_pdf(b, wo, out.wi))
+        np.testing.assert_allclose(pdf2[ok], np.asarray(out.pdf)[ok], rtol=1e-3)
+        fs2 = np.asarray(lb.microfacet_reflection_eval(b, wo, out.wi))
+        np.testing.assert_allclose(fs2[ok], np.asarray(out.fs)[ok], rtol=1e-3)
+
+    def test_brdf_energy_bounded(self):
+        """fs*cos/pdf estimates of albedo stay <= max Fresnel (~1)."""
+        n = 100000
+        rs = np.random.RandomState(3)
+        b = self._batch(0.4, n=n)
+        wo = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], jnp.float32), (n, 3))
+        out = lb.microfacet_reflection_sample(
+            b, wo, jnp.asarray(rs.rand(n), jnp.float32),
+            jnp.asarray(rs.rand(n), jnp.float32)
+        )
+        ok = np.asarray(out.pdf) > 0
+        est = (
+            np.asarray(out.fs)[ok, 0]
+            * np.abs(np.asarray(out.wi)[ok, 2])
+            / np.asarray(out.pdf)[ok]
+        )
+        assert est.mean() < 1.0
+
+    def test_rough_glass_snell(self):
+        from slr_tpu.scene.types import LobeKind as LK
+
+        n = 4
+        b = make_batch(LK.MICROFACET_SCATTERING, s0=(1, 1, 1),
+                       s1=(1.0, 1.0, 1.0), s2=(1.5, 1.5, 1.5), f0=1e-3, n=n)
+        cos_i = 0.8
+        sin_i = np.sqrt(1 - cos_i * cos_i)
+        wo = jnp.broadcast_to(jnp.asarray([sin_i, 0, cos_i], jnp.float32), (n, 3))
+        hero = jnp.zeros((n,), jnp.int32)
+        out = lb.microfacet_scattering_sample(
+            b, wo, hero, jnp.full((n,), 0.999), jnp.full((n,), 0.5),
+            jnp.full((n,), 0.5)
+        )
+        wi = np.asarray(out.wi)
+        # With nearly-smooth alpha, the refracted direction ~ Snell's law.
+        np.testing.assert_allclose(np.abs(wi[:, 0]), sin_i / 1.5, atol=5e-3)
+        assert (wi[:, 2] < 0).all()
+
+
+class TestWardAshikhmin:
+    def test_ward_sample_eval_pdf_agree(self):
+        from slr_tpu.scene.types import LobeKind as LK
+
+        n = 20000
+        rs = np.random.RandomState(4)
+        b = make_batch(LK.WARD, s0=(0.7, 0.7, 0.7), f0=0.2, f1=0.1, n=n)
+        wo = jnp.broadcast_to(jnp.asarray([0.3, 0.2, np.sqrt(1 - 0.13)],
+                                          jnp.float32), (n, 3))
+        out = lb.ward_sample(
+            b, wo, jnp.asarray(rs.rand(n), jnp.float32),
+            jnp.asarray(rs.rand(n), jnp.float32)
+        )
+        ok = np.asarray(out.pdf) > 1e-6
+        pdf2 = np.asarray(lb.ward_pdf(b, wo, out.wi))
+        np.testing.assert_allclose(pdf2[ok], np.asarray(out.pdf)[ok], rtol=1e-3)
+        fs2 = np.asarray(lb.ward_eval(b, wo, out.wi))
+        np.testing.assert_allclose(fs2[ok], np.asarray(out.fs)[ok], rtol=1e-3)
+
+    def test_ward_energy_bounded(self):
+        from slr_tpu.scene.types import LobeKind as LK
+
+        n = 100000
+        rs = np.random.RandomState(5)
+        b = make_batch(LK.WARD, s0=(1.0, 1.0, 1.0), f0=0.3, f1=0.3, n=n)
+        wo = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], jnp.float32), (n, 3))
+        out = lb.ward_sample(
+            b, wo, jnp.asarray(rs.rand(n), jnp.float32),
+            jnp.asarray(rs.rand(n), jnp.float32)
+        )
+        ok = np.asarray(out.pdf) > 1e-6
+        est = (
+            np.asarray(out.fs)[ok, 0]
+            * np.abs(np.asarray(out.wi)[ok, 2])
+            / np.asarray(out.pdf)[ok]
+        )
+        # bounded-albedo Ward: reflectance <= R
+        assert est.sum() / n <= 1.02
+
+    def test_ashikhmin_sample_eval_pdf_agree(self):
+        from slr_tpu.scene.types import LobeKind as LK
+
+        n = 20000
+        rs = np.random.RandomState(6)
+        b = make_batch(LK.ASHIKHMIN, s0=(0.1, 0.1, 0.1), s1=(0.6, 0.3, 0.2),
+                       f0=100.0, f1=10.0, n=n)
+        wo = jnp.broadcast_to(jnp.asarray([0.3, 0.2, np.sqrt(1 - 0.13)],
+                                          jnp.float32), (n, 3))
+        front = jnp.ones((n,), bool)
+        hero = jnp.zeros((n,), jnp.int32)
+        out = lb.ashikhmin_sample(
+            b, wo, front, hero, jnp.asarray(rs.rand(n), jnp.float32),
+            jnp.asarray(rs.rand(n), jnp.float32),
+            jnp.asarray(rs.rand(n), jnp.float32)
+        )
+        ok = np.asarray(out.pdf) > 1e-6
+        pdf2 = np.asarray(lb.ashikhmin_pdf(b, wo, out.wi, hero))
+        np.testing.assert_allclose(pdf2[ok], np.asarray(out.pdf)[ok], rtol=1e-3)
+        fs2 = np.asarray(lb.ashikhmin_eval(b, wo, out.wi))
+        np.testing.assert_allclose(fs2[ok], np.asarray(out.fs)[ok], rtol=1e-3)
+
+    def test_ashikhmin_energy_bounded(self):
+        from slr_tpu.scene.types import LobeKind as LK
+
+        n = 100000
+        rs = np.random.RandomState(7)
+        b = make_batch(LK.ASHIKHMIN, s0=(0.05, 0.05, 0.05), s1=(0.7, 0.7, 0.7),
+                       f0=50.0, f1=50.0, n=n)
+        wo = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], jnp.float32), (n, 3))
+        front = jnp.ones((n,), bool)
+        hero = jnp.zeros((n,), jnp.int32)
+        out = lb.ashikhmin_sample(
+            b, wo, front, hero, jnp.asarray(rs.rand(n), jnp.float32),
+            jnp.asarray(rs.rand(n), jnp.float32),
+            jnp.asarray(rs.rand(n), jnp.float32)
+        )
+        ok = np.asarray(out.pdf) > 1e-6
+        est = (
+            np.asarray(out.fs)[ok, 0]
+            * np.abs(np.asarray(out.wi)[ok, 2])
+            / np.asarray(out.pdf)[ok]
+        )
+        assert est.sum() / n <= 1.02
+
+
 class TestSpecular:
     def test_mirror_direction(self):
         b = make_batch(LobeKind.SPECULAR_REFLECTION, s0=(1, 1, 1),
