@@ -357,7 +357,8 @@ class SceneBuilder:
     # -- build --------------------------------------------------------------
     def build(self, use_bvh: bool = True) -> FlatScene:
         s = self.s
-        assert self.camera is not None, "scene has no camera"
+        if self.camera is None:
+            self.set_camera_perspective(np.eye(4, dtype=np.float32), 1.0, 0.52)
         assert self.positions, "scene has no geometry"
         positions = np.concatenate(self.positions)
         normals = np.concatenate(self.normals)

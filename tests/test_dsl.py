@@ -1,0 +1,126 @@
+"""Scene-DSL tests: lexer/parser/interpreter semantics and end-to-end loading
+of the reference's bundled TestScenes (SURVEY.md §7 delta 6: the scene-file
+surface is preserved verbatim)."""
+import numpy as np
+import pytest
+
+from slr_tpu.scene.api import ApiContext, make_global_env, read_scene, load_scene
+from slr_tpu.scene.dsl.parser import Env, TupleVal, execute, parse
+from slr_tpu.scene.graph import SceneDesc
+
+REF_SCENES = "/root/reference/TestScenes"
+
+
+def run_src(src: str):
+    scene = SceneDesc()
+    ctx = ApiContext(scene)
+    env = make_global_env(ctx)
+    execute(src, env, ctx)
+    return env, ctx
+
+
+class TestInterpreter:
+    def test_arithmetic_and_vars(self):
+        env, _ = run_src("x = 1 + 2 * 3; y = (1 + 2) * 3; z = x - y;")
+        assert env.lookup("x") == 7
+        assert env.lookup("y") == 9
+        assert env.lookup("z") == -2
+
+    def test_comparison_logic(self):
+        env, _ = run_src("a = 1 < 2 && 3 >= 3; b = !a || 1 == 2;")
+        assert env.lookup("a") is True
+        assert env.lookup("b") is False
+
+    def test_if_else_for(self):
+        env, _ = run_src(
+            "total = 0; for (i = 0; i < 5; ++i) { if (i % 2 == 0) total += i; }"
+        )
+        assert env.lookup("total") == 6  # 0+2+4
+
+    def test_function_def_and_call(self):
+        env, _ = run_src(
+            "function sq(x) { return x * x; } function add(a, b = 10) "
+            "{ return a + b; } r1 = sq(5); r2 = add(3); r3 = add(3, 4);"
+        )
+        assert env.lookup("r1") == 25
+        assert env.lookup("r2") == 13
+        assert env.lookup("r3") == 7
+
+    def test_tuples(self):
+        env, _ = run_src(
+            't = (1, 2, "k": 3); n = numElements(t); e0 = t[0]; e1 = t[1];'
+        )
+        assert env.lookup("n") == 3
+        assert env.lookup("e0") == 1
+        t = env.lookup("t")
+        assert t.named()["k"] == 3
+
+    def test_single_element_tuple_and_empty(self):
+        env, _ = run_src("t1 = (5,); t0 = (,); p = (5);")
+        assert isinstance(env.lookup("t1"), TupleVal)
+        assert len(env.lookup("t1")) == 1
+        assert len(env.lookup("t0")) == 0
+        assert env.lookup("p") == 5  # parenthesized expression, not tuple
+
+    def test_transforms_compose(self):
+        env, _ = run_src("m = translate(1, 2, 3) * scale(2);")
+        m = env.lookup("m")
+        np.testing.assert_allclose(m[:3, 3], [1, 2, 3])
+        np.testing.assert_allclose(np.diag(m)[:3], [2, 2, 2])
+
+    def test_spectrum_overloads(self):
+        env, _ = run_src(
+            's1 = Spectrum(0.75, 0.25, 0.5); s2 = Spectrum("Reflectance", 1.0); '
+            's3 = Spectrum("ID": "D65") * 4; s4 = Spectrum("ID": "Aluminium", 1);'
+        )
+        s1 = env.lookup("s1")
+        assert s1.kind == "rgb" and s1.rgb == (0.75, 0.25, 0.5)
+        s2 = env.lookup("s2")
+        assert s2.kind == "mono" and s2.value == 1.0
+        s3 = env.lookup("s3")
+        assert s3.kind == "library" and s3.library_id == "D65" and s3.scale == 4
+        s4 = env.lookup("s4")
+        assert s4.library_comp == 1
+
+    def test_string_comparison_switchlike(self):
+        env, _ = run_src('name = "abc"; eq = name == "abc";')
+        assert env.lookup("eq") is True
+
+
+class TestSceneLoading:
+    def test_cornell_box_spheres_loads(self):
+        flat, renderer, settings = load_scene(
+            f"{REF_SCENES}/Cornell_Box_Spheres.txt", use_bvh=False
+        )
+        assert settings["width"] == 1024 and settings["height"] == 768
+        assert renderer["method"] == "BPT"
+        assert renderer["samples"] == 16384
+        assert flat.geometry.num_tris > 1000  # box + 2 spheres
+        assert flat.lights.num == 2           # light quad = 2 triangles
+        assert flat.materials.num >= 8
+
+    def test_cornell_box_spheres_spectral_loads(self):
+        flat, _, _ = load_scene(
+            f"{REF_SCENES}/Cornell_Box_Spheres.txt", spectral=True, use_bvh=False
+        )
+        assert flat.stex.spectral
+        assert flat.stex.curves_wl.shape[0] >= 3  # D65, Al eta/k, Air, BK7
+
+    def test_cornell_renders(self):
+        from slr_tpu.render.pt import render
+
+        flat, _, _ = load_scene(
+            f"{REF_SCENES}/Cornell_Box_Spheres.txt", use_bvh=False
+        )
+        img = np.asarray(render(flat, 32, 24, spp=1, max_depth=4))
+        assert np.isfinite(img).all()
+        assert img.mean() > 0  # D65*4 integrates to a bright emitter
+
+    def test_aovs_match_camera_setup(self):
+        from slr_tpu.render.debug import render_aovs
+
+        flat, _, _ = load_scene(
+            f"{REF_SCENES}/Cornell_Box_Spheres.txt", use_bvh=False
+        )
+        aov = render_aovs(flat, 32, 24)
+        assert float(aov.hit.mean()) == 1.0  # closed box fills the view
