@@ -163,7 +163,10 @@ def resolve_surface_point(geom: Geometry, hit: Hit, o: Array, d: Array
     b0 = hit.b0[..., None]
     b1 = hit.b1[..., None]
     b2 = 1.0 - b0 - b1
-    p = o + d * hit.t[..., None]
+    # Missed lanes carry t = inf; clamp so masked-out lanes stay finite
+    # (inf positions poison reverse-mode AD through jnp.where).
+    t_safe = jnp.where(hit.mask, hit.t, 1.0)
+    p = o + d * t_safe[..., None]
     gn = normalize(cross(p1 - p0, p2 - p0))
     n0 = geom.normals[vidx[..., 0]]
     n1 = geom.normals[vidx[..., 1]]

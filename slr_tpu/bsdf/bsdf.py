@@ -93,6 +93,27 @@ def _is_kind(kind: Array, k: LobeKind) -> Array:
     return kind == jnp.int32(int(k))
 
 
+def _sanitized(lobes: LobeBatch, kind: LobeKind) -> LobeBatch:
+    """Replace parameters of rows NOT of `kind` with numerically safe values.
+
+    The compute-all-select dispatch evaluates every kind for every lobe; rows
+    of other kinds carry arbitrary (often zero) parameters that can produce
+    inf/NaN inside the unselected branch — harmless in the primal (masked by
+    jnp.where) but poisonous to reverse-mode AD, which differentiates both
+    branches of a where. Safe neutral values keep every kind's math finite.
+    """
+    m1 = _is_kind(lobes.kind, kind)[..., None]
+    m0 = _is_kind(lobes.kind, kind)
+    return LobeBatch(
+        kind=lobes.kind,
+        s0=jnp.where(m1, lobes.s0, 0.5),
+        s1=jnp.where(m1, lobes.s1, 1.0),
+        s2=jnp.where(m1, lobes.s2, 1.5),
+        f0=jnp.where(m0, lobes.f0, 0.5),
+        f1=jnp.where(m0, lobes.f1, 0.5),
+    )
+
+
 def lobe_weights(lobes: LobeBatch, wo: Array, hero: Array) -> Array:
     """Per-lobe sampling weights (R, L) — each kind's weightInternal."""
     wo_b = jnp.broadcast_to(wo[:, None, :], lobes.kind.shape + (3,))
@@ -105,18 +126,18 @@ def lobe_weights(lobes: LobeBatch, wo: Array, hero: Array) -> Array:
     )
     w = jnp.where(diffuse_like, importance(lobes.s0, hero_b), w)
     for kind, fn in (
-        (LobeKind.SPECULAR_REFLECTION,
-         lambda: lb_mod.specular_reflection_weight(lobes, wo_b, hero_b)),
-        (LobeKind.SPECULAR_SCATTERING,
-         lambda: lb_mod.specular_scattering_weight(lobes, wo_b, hero_b)),
-        (LobeKind.MICROFACET_REFLECTION,
-         lambda: lb_mod.microfacet_reflection_weight(lobes, wo_b, hero_b)),
-        (LobeKind.MICROFACET_SCATTERING,
-         lambda: lb_mod.microfacet_reflection_weight(lobes, wo_b, hero_b)),
+        (LobeKind.SPECULAR_REFLECTION, lb_mod.specular_reflection_weight),
+        (LobeKind.SPECULAR_SCATTERING, lb_mod.specular_scattering_weight),
+        (LobeKind.MICROFACET_REFLECTION, lb_mod.microfacet_reflection_weight),
+        (LobeKind.MICROFACET_SCATTERING, lb_mod.microfacet_reflection_weight),
         (LobeKind.ASHIKHMIN,
-         lambda: sum(lb_mod._ashikhmin_weights(lobes, wo_b, hero_b))),
+         lambda lb, wo, h: sum(lb_mod._ashikhmin_weights(lb, wo, h))),
     ):
-        w = jnp.where(_is_kind(lobes.kind, kind), fn(), w)
+        w = jnp.where(
+            _is_kind(lobes.kind, kind),
+            fn(_sanitized(lobes, kind), wo_b, hero_b),
+            w,
+        )
     return jnp.maximum(w, 0.0)
 
 
@@ -127,16 +148,18 @@ def _eval_internal_all(lobes: LobeBatch, wo: Array, wi: Array,
     wi_b = jnp.broadcast_to(wi[:, None, :], lobes.kind.shape + (3,))
     fs = jnp.zeros(lobes.s0.shape, jnp.float32)
     for kind, fn in (
-        (LobeKind.LAMBERT, lambda: lb_mod.lambert_eval(lobes, wo_b, wi_b)),
-        (LobeKind.OREN_NAYAR, lambda: lb_mod.oren_nayar_eval(lobes, wo_b, wi_b)),
-        (LobeKind.MICROFACET_REFLECTION,
-         lambda: lb_mod.microfacet_reflection_eval(lobes, wo_b, wi_b)),
-        (LobeKind.MICROFACET_SCATTERING,
-         lambda: lb_mod.microfacet_scattering_eval(lobes, wo_b, wi_b)),
-        (LobeKind.WARD, lambda: lb_mod.ward_eval(lobes, wo_b, wi_b)),
-        (LobeKind.ASHIKHMIN, lambda: lb_mod.ashikhmin_eval(lobes, wo_b, wi_b)),
+        (LobeKind.LAMBERT, lb_mod.lambert_eval),
+        (LobeKind.OREN_NAYAR, lb_mod.oren_nayar_eval),
+        (LobeKind.MICROFACET_REFLECTION, lb_mod.microfacet_reflection_eval),
+        (LobeKind.MICROFACET_SCATTERING, lb_mod.microfacet_scattering_eval),
+        (LobeKind.WARD, lb_mod.ward_eval),
+        (LobeKind.ASHIKHMIN, lb_mod.ashikhmin_eval),
     ):
-        fs = jnp.where(_is_kind(lobes.kind, kind)[..., None], fn(), fs)
+        fs = jnp.where(
+            _is_kind(lobes.kind, kind)[..., None],
+            fn(_sanitized(lobes, kind), wo_b, wi_b),
+            fs,
+        )
     return fs
 
 
@@ -154,14 +177,16 @@ def _pdf_internal_all(lobes: LobeBatch, wo: Array, wi: Array,
     pdf = jnp.where(cosine_like, lb_mod.lambert_pdf(lobes, wo_b, wi_b), pdf)
     for kind, fn in (
         (LobeKind.MICROFACET_REFLECTION,
-         lambda: lb_mod.microfacet_reflection_pdf(lobes, wo_b, wi_b)),
+         lambda lb: lb_mod.microfacet_reflection_pdf(lb, wo_b, wi_b)),
         (LobeKind.MICROFACET_SCATTERING,
-         lambda: lb_mod.microfacet_scattering_pdf(lobes, wo_b, wi_b, hero_b)),
-        (LobeKind.WARD, lambda: lb_mod.ward_pdf(lobes, wo_b, wi_b)),
+         lambda lb: lb_mod.microfacet_scattering_pdf(lb, wo_b, wi_b, hero_b)),
+        (LobeKind.WARD, lambda lb: lb_mod.ward_pdf(lb, wo_b, wi_b)),
         (LobeKind.ASHIKHMIN,
-         lambda: lb_mod.ashikhmin_pdf(lobes, wo_b, wi_b, hero_b)),
+         lambda lb: lb_mod.ashikhmin_pdf(lb, wo_b, wi_b, hero_b)),
     ):
-        pdf = jnp.where(_is_kind(lobes.kind, kind), fn(), pdf)
+        pdf = jnp.where(
+            _is_kind(lobes.kind, kind), fn(_sanitized(lobes, kind)), pdf
+        )
     return pdf
 
 
@@ -258,15 +283,27 @@ def bsdf_sample(
     )
     front = jnp.sum(wo * gn, axis=-1) > 0.0
 
-    # Sample every kind, select by the picked lobe's kind.
-    out_lam = lb_mod.lambert_sample(picked, wo, front, u0, u1)
-    out_on = lb_mod.oren_nayar_sample(picked, wo, front, u0, u1)
-    out_sr = lb_mod.specular_reflection_sample(picked, wo)
-    out_ss = lb_mod.specular_scattering_sample(picked, wo, hero, u_remap)
-    out_mr = lb_mod.microfacet_reflection_sample(picked, wo, u0, u1)
-    out_ms = lb_mod.microfacet_scattering_sample(picked, wo, hero, u_remap, u0, u1)
-    out_wd = lb_mod.ward_sample(picked, wo, u0, u1)
-    out_as = lb_mod.ashikhmin_sample(picked, wo, front, hero, u_remap, u0, u1)
+    # Sample every kind, select by the picked lobe's kind (params sanitized
+    # per kind so unselected branches stay AD-safe).
+    def san(kind):
+        return _sanitized(picked, kind)
+
+    out_lam = lb_mod.lambert_sample(san(LobeKind.LAMBERT), wo, front, u0, u1)
+    out_on = lb_mod.oren_nayar_sample(san(LobeKind.OREN_NAYAR), wo, front, u0, u1)
+    out_sr = lb_mod.specular_reflection_sample(san(LobeKind.SPECULAR_REFLECTION), wo)
+    out_ss = lb_mod.specular_scattering_sample(
+        san(LobeKind.SPECULAR_SCATTERING), wo, hero, u_remap
+    )
+    out_mr = lb_mod.microfacet_reflection_sample(
+        san(LobeKind.MICROFACET_REFLECTION), wo, u0, u1
+    )
+    out_ms = lb_mod.microfacet_scattering_sample(
+        san(LobeKind.MICROFACET_SCATTERING), wo, hero, u_remap, u0, u1
+    )
+    out_wd = lb_mod.ward_sample(san(LobeKind.WARD), wo, u0, u1)
+    out_as = lb_mod.ashikhmin_sample(
+        san(LobeKind.ASHIKHMIN), wo, front, hero, u_remap, u0, u1
+    )
 
     def sel(field: str) -> Array:
         base_v = getattr(out_lam, field)

@@ -43,13 +43,25 @@ from ..camera.perspective import sample_camera_rays
 from ..core import rng
 from ..core.math3d import Array, dot, frame_from_local, frame_to_local, normalize
 from ..core.rng import Decision
-from ..core.sampling import power_heuristic, sample_discrete_1d
+from ..core.sampling import (
+    pdf_continuous_2d,
+    power_heuristic,
+    sample_continuous_2d,
+    sample_discrete_1d,
+)
 from ..scene.types import FlatScene
 from ..spectrum.rgb import importance
 
 
 def scene_intersect(scene: FlatScene, o: Array, d: Array,
                     tmin=RAY_EPSILON, tmax=jnp.inf) -> Hit:
+    """Accelerator dispatch (static pytree structure): the MXU Plücker
+    intersector is the default; the BVH / scan-brute paths remain available
+    for validation and very large scenes."""
+    if scene.plucker is not None:
+        from ..accel.plucker import intersect_plucker
+
+        return intersect_plucker(scene.geometry, scene.plucker, o, d, tmin, tmax)
     if scene.bvh is not None:
         from ..accel.lbvh import intersect_bvh
 
@@ -67,6 +79,35 @@ def test_visibility(scene: FlatScene, p_from: Array, p_to: Array) -> Array:
         scene, p_from, d, tmin=RAY_EPSILON, tmax=dist * (1.0 - 1e-3)
     )
     return jnp.logical_not(hit.mask)
+
+
+def _env_direction(phi: Array, theta: Array) -> Array:
+    """(phi, theta) -> world direction, reference convention
+    (SurfaceObject.cpp:178): p = (-sin(phi) sin(theta), cos(theta),
+    cos(phi) sin(theta))."""
+    st = jnp.sin(theta)
+    return jnp.stack([-jnp.sin(phi) * st, jnp.cos(theta), jnp.cos(phi) * st],
+                     axis=-1)
+
+
+def _env_uv_from_direction(d: Array) -> tuple[Array, Array]:
+    """Inverse mapping: direction -> (u, v) in [0,1)^2 equirect coords."""
+    theta = jnp.arccos(jnp.clip(d[..., 1], -1.0, 1.0))
+    phi = jnp.arctan2(-d[..., 0], d[..., 2])
+    phi = jnp.where(phi < 0, phi + 2 * jnp.pi, phi)
+    return phi / (2 * jnp.pi), theta / jnp.pi
+
+
+def _env_radiance(scene: FlatScene, u: Array, v: Array,
+                  lambdas: Array | None) -> Array:
+    """Le of the environment at equirect (u, v): texture x scale
+    (IBLEmission::emittance x IBLEDF = pi*tex*scale * 1/pi)."""
+    from ..scene.textures import eval_stex
+
+    tex_id = jnp.broadcast_to(scene.env.stex, u.shape)
+    uv = jnp.stack([u, v], axis=-1)
+    val = eval_stex(scene.stex, tex_id, uv, lambdas)
+    return val * scene.env.scale
 
 
 class PathState(NamedTuple):
@@ -166,6 +207,14 @@ def _trace_core(
     le = emitted_radiance(scene, sp.mat_id, sp.uv, cos_out, lambdas)
     radiance = radiance + jnp.where(hit.mask[..., None], alpha * le, 0.0)
 
+    # Primary ray escaping to the environment sphere (atInfinity, no MIS).
+    env_on = scene.env.stex >= 0
+    eu, ev = _env_uv_from_direction(d)
+    env_le0 = _env_radiance(scene, eu, ev, lambdas)
+    radiance = radiance + jnp.where(
+        (jnp.logical_not(hit.mask) & env_on)[..., None], env_le0, 0.0
+    )
+
     active = hit.mask
     init_y = importance(alpha, hero)
 
@@ -234,12 +283,50 @@ def _trace_core(
         )
         radiance = state.radiance + jnp.where(nee_ok[..., None], contrib_nee, 0.0)
 
+        # --- NEE on the environment sphere -----------------------------
+        # InfiniteSphereSurfaceObject::sample (SurfaceObject.cpp:158-185):
+        # importance-sample (phi, theta); areaPDF = uvPDF/(2 pi^2 sin) with
+        # dist2 = 1 and unit cosine at the infinite light.
+        env_on = scene.env.stex >= 0
+        ex, ey, uvpdf = sample_continuous_2d(scene.env.dist, lu0, lu1)
+        e_theta = ey * jnp.pi
+        e_dir = _env_direction(ex * 2 * jnp.pi, e_theta)
+        env_area_pdf = uvpdf / jnp.maximum(
+            2.0 * jnp.pi**2 * jnp.sin(e_theta), 1e-8
+        )
+        env_hit = scene_intersect(scene, sp.p, e_dir)
+        env_vis = jnp.logical_not(env_hit.mask)
+        le_env = _env_radiance(scene, ex, ey, lambdas)
+        e_dir_sn = frame_to_local(fx, fy, fz, e_dir)
+        fs_env = bsdf_evaluate(lobes, wo, e_dir_sn, gn_sn, state.hero)
+        env_light_pdf = light_prob * env_area_pdf
+        bsdf_pdf_env = bsdf_pdf(lobes, wo, e_dir_sn, gn_sn, state.hero)
+        mis_env = power_heuristic(env_light_pdf, bsdf_pdf_env)
+        g_env = jnp.abs(dot(e_dir_sn, gn_sn))
+        contrib_env = (
+            state.alpha * le_env * fs_env
+            * (g_env * mis_env / jnp.maximum(env_light_pdf, 1e-30))[..., None]
+        )
+        env_nee_ok = (
+            state.active & nondelta & env_vis & is_env & env_on
+            & (env_light_pdf > 0)
+        )
+        radiance = radiance + jnp.where(env_nee_ok[..., None], contrib_env, 0.0)
+
         # --- BSDF sampling ----------------------------------------------
         uc = rng.uniform(seed, pixel_id, sample_id, bounce_id, Decision.BSDF_COMPONENT)
         u0 = rng.uniform(seed, pixel_id, sample_id, bounce_id, Decision.BSDF_U)
         u1 = rng.uniform(seed, pixel_id, sample_id, bounce_id, Decision.BSDF_V)
         smp = bsdf_sample(lobes, wo, gn_sn, state.hero, state.wl_selected, uc, u0, u1)
 
+        # Detached-sampling differentiability (SURVEY.md §7 delta 4): sampled
+        # directions and pdfs are treated as constants under reverse-mode AD;
+        # gradients flow through fs / Le / throughput only. Identity in the
+        # primal computation.
+        smp = smp._replace(
+            wi=jax.lax.stop_gradient(smp.wi),
+            pdf=jax.lax.stop_gradient(smp.pdf),
+        )
         dir_pdf = smp.pdf
         wl_selected = state.wl_selected | smp.dispersive
         dir_pdf = jnp.where(smp.dispersive, dir_pdf / s, dir_pdf)
@@ -280,10 +367,31 @@ def _trace_core(
             emissive_hit[..., None], new_alpha * le_hit * mis_bsdf[..., None], 0.0
         )
 
+        # Escaped ray hits the environment sphere: implicit light sampling
+        # with MIS against the env importance map (dist2 = 1, cos = 1).
+        esc = sample_ok & jnp.logical_not(hit.mask) & (scene.env.stex >= 0)
+        ieu, iev = _env_uv_from_direction(new_d)
+        env_le_hit = _env_radiance(scene, ieu, iev, lambdas)
+        env_uvpdf_hit = pdf_continuous_2d(scene.env.dist, ieu, iev)
+        env_pdf_hit = (
+            scene.lights.env_prob
+            * env_uvpdf_hit
+            / jnp.maximum(2.0 * jnp.pi**2 * jnp.sin(iev * jnp.pi), 1e-8)
+        )
+        mis_env_hit = jnp.where(
+            smp.is_delta, 1.0, power_heuristic(dir_pdf, env_pdf_hit)
+        )
+        radiance = radiance + jnp.where(
+            esc[..., None], new_alpha * env_le_hit * mis_env_hit[..., None], 0.0
+        )
+
         # --- Russian roulette -------------------------------------------
-        cont_p = jnp.minimum(
-            importance(new_alpha, state.hero) / jnp.maximum(state.init_y, 1e-30),
-            1.0,
+        cont_p = jax.lax.stop_gradient(
+            jnp.minimum(
+                importance(new_alpha, state.hero)
+                / jnp.maximum(state.init_y, 1e-30),
+                1.0,
+            )
         )
         u_rr = rng.uniform(seed, pixel_id, sample_id, bounce_id, Decision.RR)
         survive = u_rr < cont_p

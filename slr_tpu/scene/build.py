@@ -496,6 +496,10 @@ class SceneBuilder:
 
             bvh = build_lbvh(positions, tri_vidx)
 
+        from ..accel.plucker import build_plucker
+
+        plucker = build_plucker(geom)
+
         return FlatScene(
             geometry=geom,
             materials=materials,
@@ -505,6 +509,7 @@ class SceneBuilder:
             env=env,
             camera=self.camera,
             bvh=bvh,
+            plucker=plucker,
             world_center=jnp.asarray(center),
             world_radius=jnp.float32(radius),
         )

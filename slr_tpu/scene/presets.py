@@ -138,7 +138,11 @@ def cornell_box_spheres(
                                             sphere_res, sphere_res * 2)
         b.add_mesh(pos, nrm, tan, uv, tris, glass_mat)
 
-    import numpy.linalg  # noqa: F401
+    _finish_cornell_camera(b)
+    return b.build(use_bvh=use_bvh)
+
+
+def _finish_cornell_camera(b: SceneBuilder) -> None:
     to_world = (
         np.asarray(m3.mat_translate(np.array([0.0, 1.689714, 6.70284])))
         @ np.asarray(m3.mat_rotate_y(np.pi))
@@ -152,4 +156,29 @@ def cornell_box_spheres(
         img_dist=1.0,
         obj_dist=6.3,
     )
+
+
+def env_sphere_scene(
+    env_image: np.ndarray | None = None,
+    env_scale: float = 1.0,
+    reflectance: float = 0.6,
+    use_bvh: bool = False,
+) -> FlatScene:
+    """A single diffuse sphere under an environment light (IBL_Test-style):
+    the analytic check is L_out = rho * L_env for a constant environment
+    (convex body, no self-occlusion)."""
+    b = SceneBuilder()
+    mat = b.add_matte(b.add_stex_const((reflectance,) * 3))
+    pos, nrm, tan, uv, tris = uv_sphere((0.0, 0.0, 0.0), 1.0, 16, 32)
+    b.add_mesh(pos, nrm, tan, uv, tris, mat)
+    if env_image is None:
+        env_image = np.ones((16, 32, 3), np.float32)
+    img_id = b.add_image(env_image)
+    tex = b.add_stex_image(img_id)
+    b.set_environment(tex, env_scale)
+    to_world = np.asarray(m3.mat_translate(np.array([0.0, 0.0, -4.0], np.float32)))
+    b.set_camera_perspective(to_world, aspect=1.0, fovy=0.6, lens_radius=0.0,
+                             img_dist=1.0, obj_dist=4.0)
     return b.build(use_bvh=use_bvh)
+
+

@@ -230,5 +230,6 @@ class FlatScene(struct.PyTreeNode):
     env: EnvLight
     camera: Camera
     bvh: Optional[BVH] = None
+    plucker: Optional[Any] = None  # accel.plucker.PluckerTris (MXU intersector)
     world_center: Array = None  # (3,)
     world_radius: Array = None  # ()

@@ -41,6 +41,29 @@ class TestIntersect:
             np.asarray(hb.t)[both], np.asarray(hv.t)[both], rtol=1e-5
         )
 
+    def test_plucker_matches_brute(self, cornell_bvh):
+        """MXU Plücker intersector vs the Möller-Trumbore oracle."""
+        from slr_tpu.accel.plucker import intersect_plucker
+
+        scene = cornell_bvh
+        rs = np.random.RandomState(7)
+        o = jnp.asarray(rs.uniform(-1.2, 1.2, (800, 3)), jnp.float32) + jnp.array(
+            [0.0, 1.2, 0.0]
+        )
+        d = jnp.asarray(rs.randn(800, 3), jnp.float32)
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        hb = intersect_brute(scene.geometry, o, d)
+        hp = intersect_plucker(scene.geometry, scene.plucker, o, d)
+        agree = np.asarray(hb.mask) == np.asarray(hp.mask)
+        assert agree.mean() > 0.995  # edge-grazing rays may differ
+        both = np.asarray(hb.mask) & np.asarray(hp.mask) & (
+            np.asarray(hb.tri) == np.asarray(hp.tri)
+        )
+        assert both.mean() > 0.99
+        np.testing.assert_allclose(
+            np.asarray(hb.t)[both], np.asarray(hp.t)[both], rtol=1e-4
+        )
+
     def test_single_triangle(self):
         from slr_tpu.accel.intersect import moller_trumbore
 
