@@ -22,6 +22,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..accel.intersect import (
     RAY_EPSILON,
@@ -55,9 +56,17 @@ from ..spectrum.rgb import importance
 
 def scene_intersect(scene: FlatScene, o: Array, d: Array,
                     tmin=RAY_EPSILON, tmax=jnp.inf) -> Hit:
-    """Accelerator dispatch (static pytree structure): the MXU Plücker
-    intersector is the default; the BVH / scan-brute paths remain available
-    for validation and very large scenes."""
+    """Accelerator dispatch (static pytree structure): the fused Pallas
+    Plücker kernel on TPU, the XLA Plücker path elsewhere; BVH / scan-brute
+    remain available for validation and very large scenes."""
+    if scene.pallas_tris is not None and jax.default_backend() not in (
+        "cpu", "gpu"
+    ):
+        from ..accel.pallas_intersect import intersect_pallas
+
+        return intersect_pallas(
+            scene.geometry, scene.pallas_tris, o, d, tmin, tmax
+        )
     if scene.plucker is not None:
         from ..accel.plucker import intersect_plucker
 
@@ -208,12 +217,12 @@ def _trace_core(
     radiance = radiance + jnp.where(hit.mask[..., None], alpha * le, 0.0)
 
     # Primary ray escaping to the environment sphere (atInfinity, no MIS).
-    env_on = scene.env.stex >= 0
-    eu, ev = _env_uv_from_direction(d)
-    env_le0 = _env_radiance(scene, eu, ev, lambdas)
-    radiance = radiance + jnp.where(
-        (jnp.logical_not(hit.mask) & env_on)[..., None], env_le0, 0.0
-    )
+    if scene.has_env:
+        eu, ev = _env_uv_from_direction(d)
+        env_le0 = _env_radiance(scene, eu, ev, lambdas)
+        radiance = radiance + jnp.where(
+            jnp.logical_not(hit.mask)[..., None], env_le0, 0.0
+        )
 
     active = hit.mask
     init_y = importance(alpha, hero)
@@ -286,32 +295,35 @@ def _trace_core(
         # --- NEE on the environment sphere -----------------------------
         # InfiniteSphereSurfaceObject::sample (SurfaceObject.cpp:158-185):
         # importance-sample (phi, theta); areaPDF = uvPDF/(2 pi^2 sin) with
-        # dist2 = 1 and unit cosine at the infinite light.
-        env_on = scene.env.stex >= 0
-        ex, ey, uvpdf = sample_continuous_2d(scene.env.dist, lu0, lu1)
-        e_theta = ey * jnp.pi
-        e_dir = _env_direction(ex * 2 * jnp.pi, e_theta)
-        env_area_pdf = uvpdf / jnp.maximum(
-            2.0 * jnp.pi**2 * jnp.sin(e_theta), 1e-8
-        )
-        env_hit = scene_intersect(scene, sp.p, e_dir)
-        env_vis = jnp.logical_not(env_hit.mask)
-        le_env = _env_radiance(scene, ex, ey, lambdas)
-        e_dir_sn = frame_to_local(fx, fy, fz, e_dir)
-        fs_env = bsdf_evaluate(lobes, wo, e_dir_sn, gn_sn, state.hero)
-        env_light_pdf = light_prob * env_area_pdf
-        bsdf_pdf_env = bsdf_pdf(lobes, wo, e_dir_sn, gn_sn, state.hero)
-        mis_env = power_heuristic(env_light_pdf, bsdf_pdf_env)
-        g_env = jnp.abs(dot(e_dir_sn, gn_sn))
-        contrib_env = (
-            state.alpha * le_env * fs_env
-            * (g_env * mis_env / jnp.maximum(env_light_pdf, 1e-30))[..., None]
-        )
-        env_nee_ok = (
-            state.active & nondelta & env_vis & is_env & env_on
-            & (env_light_pdf > 0)
-        )
-        radiance = radiance + jnp.where(env_nee_ok[..., None], contrib_env, 0.0)
+        # dist2 = 1 and unit cosine at the infinite light. Compiled only for
+        # scenes that have an environment (static flag).
+        if scene.has_env:
+            ex, ey, uvpdf = sample_continuous_2d(scene.env.dist, lu0, lu1)
+            e_theta = ey * jnp.pi
+            e_dir = _env_direction(ex * 2 * jnp.pi, e_theta)
+            env_area_pdf = uvpdf / jnp.maximum(
+                2.0 * jnp.pi**2 * jnp.sin(e_theta), 1e-8
+            )
+            env_hit = scene_intersect(scene, sp.p, e_dir)
+            env_vis = jnp.logical_not(env_hit.mask)
+            le_env = _env_radiance(scene, ex, ey, lambdas)
+            e_dir_sn = frame_to_local(fx, fy, fz, e_dir)
+            fs_env = bsdf_evaluate(lobes, wo, e_dir_sn, gn_sn, state.hero)
+            env_light_pdf = light_prob * env_area_pdf
+            bsdf_pdf_env = bsdf_pdf(lobes, wo, e_dir_sn, gn_sn, state.hero)
+            mis_env = power_heuristic(env_light_pdf, bsdf_pdf_env)
+            g_env = jnp.abs(dot(e_dir_sn, gn_sn))
+            contrib_env = (
+                state.alpha * le_env * fs_env
+                * (g_env * mis_env / jnp.maximum(env_light_pdf, 1e-30))[..., None]
+            )
+            env_nee_ok = (
+                state.active & nondelta & env_vis & is_env
+                & (env_light_pdf > 0)
+            )
+            radiance = radiance + jnp.where(
+                env_nee_ok[..., None], contrib_env, 0.0
+            )
 
         # --- BSDF sampling ----------------------------------------------
         uc = rng.uniform(seed, pixel_id, sample_id, bounce_id, Decision.BSDF_COMPONENT)
@@ -369,21 +381,24 @@ def _trace_core(
 
         # Escaped ray hits the environment sphere: implicit light sampling
         # with MIS against the env importance map (dist2 = 1, cos = 1).
-        esc = sample_ok & jnp.logical_not(hit.mask) & (scene.env.stex >= 0)
-        ieu, iev = _env_uv_from_direction(new_d)
-        env_le_hit = _env_radiance(scene, ieu, iev, lambdas)
-        env_uvpdf_hit = pdf_continuous_2d(scene.env.dist, ieu, iev)
-        env_pdf_hit = (
-            scene.lights.env_prob
-            * env_uvpdf_hit
-            / jnp.maximum(2.0 * jnp.pi**2 * jnp.sin(iev * jnp.pi), 1e-8)
-        )
-        mis_env_hit = jnp.where(
-            smp.is_delta, 1.0, power_heuristic(dir_pdf, env_pdf_hit)
-        )
-        radiance = radiance + jnp.where(
-            esc[..., None], new_alpha * env_le_hit * mis_env_hit[..., None], 0.0
-        )
+        if scene.has_env:
+            esc = sample_ok & jnp.logical_not(hit.mask)
+            ieu, iev = _env_uv_from_direction(new_d)
+            env_le_hit = _env_radiance(scene, ieu, iev, lambdas)
+            env_uvpdf_hit = pdf_continuous_2d(scene.env.dist, ieu, iev)
+            env_pdf_hit = (
+                scene.lights.env_prob
+                * env_uvpdf_hit
+                / jnp.maximum(2.0 * jnp.pi**2 * jnp.sin(iev * jnp.pi), 1e-8)
+            )
+            mis_env_hit = jnp.where(
+                smp.is_delta, 1.0, power_heuristic(dir_pdf, env_pdf_hit)
+            )
+            radiance = radiance + jnp.where(
+                esc[..., None],
+                new_alpha * env_le_hit * mis_env_hit[..., None],
+                0.0,
+            )
 
         # --- Russian roulette -------------------------------------------
         cont_p = jax.lax.stop_gradient(
@@ -441,39 +456,50 @@ def render(
     )
 
     n_pix = width * height
-    pixel_id = jnp.arange(n_pix, dtype=jnp.uint32)
-    px_i = (pixel_id % width).astype(jnp.float32)
-    py_i = (pixel_id // width).astype(jnp.float32)
     spectral = scene.stex.spectral
     s_film = NUM_STRATA if spectral else scene.stex.value.shape[-1]
-    film = jnp.zeros((n_pix, s_film), jnp.float32)
     seed_u = jnp.uint32(seed)
 
-    @jax.jit
-    def one_pass(film, sample_id):
-        jx = rng.uniform(seed_u, pixel_id, sample_id, 0, Decision.PIXEL_X)
-        jy = rng.uniform(seed_u, pixel_id, sample_id, 0, Decision.PIXEL_Y)
-        lx = rng.uniform(seed_u, pixel_id, sample_id, 0, Decision.LENS_U)
-        ly = rng.uniform(seed_u, pixel_id, sample_id, 0, Decision.LENS_V)
+    # Fixed-size ray batches: ONE compiled program shape serves every batch,
+    # pass, and resolution (remote XLA compiles cost minutes; recompiling per
+    # resolution would dominate).
+    batch = int(ray_batch or min(n_pix, 65536))
+    n_batches = -(-n_pix // batch)
+
+    @partial(jax.jit, static_argnames=())
+    def one_batch(pixel_id, sample_id):
+        pid_c = jnp.minimum(pixel_id, n_pix - 1)
+        px = (pid_c % width).astype(jnp.float32)
+        py = (pid_c // width).astype(jnp.float32)
+        jx = rng.uniform(seed_u, pid_c, sample_id, 0, Decision.PIXEL_X)
+        jy = rng.uniform(seed_u, pid_c, sample_id, 0, Decision.PIXEL_Y)
+        lx = rng.uniform(seed_u, pid_c, sample_id, 0, Decision.LENS_U)
+        ly = rng.uniform(seed_u, pid_c, sample_id, 0, Decision.LENS_V)
         rays = sample_camera_rays(
-            scene.camera, px_i + jx, py_i + jy, width, height, lx, ly
+            scene.camera, px + jx, py + jy, width, height, lx, ly
         )
-        sample_ids = jnp.full((n_pix,), sample_id, jnp.uint32)
         c, lambdas = _trace_core(
-            scene, rays.o, rays.d, pixel_id, sample_ids, seed_u, max_depth
+            scene, rays.o, rays.d, pid_c, sample_id, seed_u, max_depth
         )
         weight = rays.weight[..., None] * c
         if spectral:
             # selectWLPDF division (PathTracingRenderer.cpp:126) followed by
             # film stratum binning (ImageSensor.cpp:125-139).
             select_wl_pdf = NUM_SPECTRAL_SAMPLES / (WL_HI - WL_LO)
-            return film + bin_to_strata(lambdas, weight / select_wl_pdf)
-        return film + weight
+            return bin_to_strata(lambdas, weight / select_wl_pdf)
+        return weight
 
-    one_pass_c = jax.jit(one_pass)
+    film = np.zeros((n_batches * batch, s_film), np.float32)
     for i in range(spp):
-        film = one_pass_c(film, jnp.uint32(i))
-    film = (film / spp).reshape(height, width, s_film)
+        for b in range(n_batches):
+            pixel_id = jnp.arange(
+                b * batch, (b + 1) * batch, dtype=jnp.uint32
+            )
+            sample_id = jnp.full((batch,), i, jnp.uint32)
+            out = one_batch(pixel_id, sample_id)
+            film[b * batch:(b + 1) * batch] += np.asarray(out)
+    film = jnp.asarray(film[:n_pix]) / spp
+    film = film.reshape(height, width, s_film)
     if spectral:
         film = strata_to_rgb(film)
     return film

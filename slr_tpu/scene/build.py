@@ -442,6 +442,11 @@ class SceneBuilder:
             curves_wl=curves_wl_j,
             curves_v=curves_v_j,
             spectral=self.spectral,
+            has_checker=any(
+                t.kind == STexKind.CHECKER for t in stexs
+            ) or any(t.kind == FTexKind.CHECKER for t in ftexs),
+            has_voronoi=any(t.kind == STexKind.VORONOI for t in stexs),
+            has_curve=any(t.kind == STexKind.CURVE for t in stexs),
         )
         ftex = FloatTextures(
             kind=jnp.asarray([t.kind for t in ftexs], jnp.int32),
@@ -500,6 +505,10 @@ class SceneBuilder:
 
         plucker = build_plucker(geom)
 
+        from ..accel.pallas_intersect import build_pallas_tris
+
+        pallas_tris = build_pallas_tris(geom)
+
         return FlatScene(
             geometry=geom,
             materials=materials,
@@ -510,6 +519,8 @@ class SceneBuilder:
             camera=self.camera,
             bvh=bvh,
             plucker=plucker,
+            pallas_tris=pallas_tris,
+            has_env=self.env_stex >= 0,
             world_center=jnp.asarray(center),
             world_radius=jnp.float32(radius),
         )

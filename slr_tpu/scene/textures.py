@@ -147,12 +147,16 @@ def eval_spectrum_texture(
 
     out = stex.value[tid]  # CONST
 
-    # CHECKER: ((int)(2u) + (int)(2v)) % 2 picks value vs value2.
-    sel = jnp.mod(
-        (tc[..., 0] * 2).astype(jnp.int32) + (tc[..., 1] * 2).astype(jnp.int32), 2
-    )
-    checker = jnp.where((sel == 0)[..., None], stex.value[tid], stex.value2[tid])
-    out = jnp.where((kind == STexKind.CHECKER)[..., None], checker, out)
+    if stex.has_checker:
+        # CHECKER: ((int)(2u) + (int)(2v)) % 2 picks value vs value2.
+        sel = jnp.mod(
+            (tc[..., 0] * 2).astype(jnp.int32)
+            + (tc[..., 1] * 2).astype(jnp.int32), 2
+        )
+        checker = jnp.where(
+            (sel == 0)[..., None], stex.value[tid], stex.value2[tid]
+        )
+        out = jnp.where((kind == STexKind.CHECKER)[..., None], checker, out)
 
     # IMAGE
     any_image = bool(stex.images.shape[0] > 0)
@@ -164,25 +168,16 @@ def eval_spectrum_texture(
         out = jnp.where((kind == STexKind.IMAGE)[..., None], img_val, out)
 
     # VORONOI: value[...,0] stores cell scale, value2[...,0] brightness.
-    p3 = (
-        wpos
-        if wpos is not None
-        else jnp.concatenate([tc, jnp.zeros_like(tc[..., :1])], axis=-1)
-    )
-    has_voronoi = True  # cheap enough to always compute? It is not — gate it.
-    if has_voronoi:
-        is_vor = kind == STexKind.VORONOI
-        # Skip the expensive Worley search entirely when the scene has no
-        # voronoi textures (static check on host-built scenes).
-        vor = jax.lax.cond(
-            jnp.any(is_vor),
-            lambda: _voronoi_rgb(p3, stex.value[tid][..., 0], stex.value2[tid][..., 0]),
-            lambda: jnp.zeros(p3.shape[:-1] + (3,), jnp.float32),
+    if stex.has_voronoi:
+        p3 = (
+            wpos
+            if wpos is not None
+            else jnp.concatenate([tc, jnp.zeros_like(tc[..., :1])], axis=-1)
         )
-        s = out.shape[-1]
-        if s == 3:
+        is_vor = kind == STexKind.VORONOI
+        vor = _voronoi_rgb(p3, stex.value[tid][..., 0], stex.value2[tid][..., 0])
+        if out.shape[-1] == 3:
             out = jnp.where(is_vor[..., None], vor, out)
-        # Spectral mode handles voronoi via upsampling at the call site.
 
     return jnp.where((tex_id >= 0)[..., None], out, jnp.zeros_like(out))
 
@@ -217,15 +212,19 @@ def eval_spectrum_texture_spectral(
 
     out = upsample_uvs(stex.value[tid])  # CONST path
 
-    sel = jnp.mod(
-        (tc[..., 0] * 2).astype(jnp.int32) + (tc[..., 1] * 2).astype(jnp.int32), 2
-    )
-    checker_uvs = jnp.where((sel == 0)[..., None], stex.value[tid], stex.value2[tid])
-    out = jnp.where(
-        (kind == STexKind.CHECKER)[..., None], upsample_uvs(checker_uvs), out
-    )
+    if stex.has_checker:
+        sel = jnp.mod(
+            (tc[..., 0] * 2).astype(jnp.int32)
+            + (tc[..., 1] * 2).astype(jnp.int32), 2
+        )
+        checker_uvs = jnp.where(
+            (sel == 0)[..., None], stex.value[tid], stex.value2[tid]
+        )
+        out = jnp.where(
+            (kind == STexKind.CHECKER)[..., None], upsample_uvs(checker_uvs), out
+        )
 
-    if stex.curves_wl is not None and stex.curves_wl.shape[0] > 0:
+    if stex.has_curve and stex.curves_wl is not None and stex.curves_wl.shape[0] > 0:
         cid = jnp.clip(stex.curve_id[tid], 0, stex.curves_wl.shape[0] - 1)
         wls_tab = stex.curves_wl[cid]  # (R, L)
         vals_tab = stex.curves_v[cid]
@@ -240,21 +239,18 @@ def eval_spectrum_texture_spectral(
         img_spec = rgb_to_spectrum(rgba[..., :3], lambdas) * stex.value[tid][..., 2:3]
         out = jnp.where((kind == STexKind.IMAGE)[..., None], img_spec, out)
 
-    p3 = (
-        wpos
-        if wpos is not None
-        else jnp.concatenate([tc, jnp.zeros_like(tc[..., :1])], axis=-1)
-    )
-    is_vor = kind == STexKind.VORONOI
-    vor = jax.lax.cond(
-        jnp.any(is_vor),
-        lambda: rgb_to_spectrum(
+    if stex.has_voronoi:
+        p3 = (
+            wpos
+            if wpos is not None
+            else jnp.concatenate([tc, jnp.zeros_like(tc[..., :1])], axis=-1)
+        )
+        is_vor = kind == STexKind.VORONOI
+        vor = rgb_to_spectrum(
             _voronoi_rgb(p3, stex.value[tid][..., 0], stex.value2[tid][..., 0]),
             lambdas,
-        ),
-        lambda: jnp.zeros_like(out),
-    )
-    out = jnp.where(is_vor[..., None], vor, out)
+        )
+        out = jnp.where(is_vor[..., None], vor, out)
 
     return jnp.where((tex_id >= 0)[..., None], out, jnp.zeros_like(out))
 

@@ -93,6 +93,12 @@ class SpectrumTextures(struct.PyTreeNode):
     curves_wl: Array = None   # (K, L) wavelengths (padded, ascending)
     curves_v: Array = None    # (K, L) values
     spectral: bool = struct.field(pytree_node=False, default=False)
+    # Static feature flags: texture kinds present in this scene. jit omits
+    # the evaluation code of absent kinds entirely (remote XLA compiles are
+    # expensive; dead branches are not free to compile).
+    has_checker: bool = struct.field(pytree_node=False, default=False)
+    has_voronoi: bool = struct.field(pytree_node=False, default=False)
+    has_curve: bool = struct.field(pytree_node=False, default=False)
 
 
 class FloatTextures(struct.PyTreeNode):
@@ -231,5 +237,7 @@ class FlatScene(struct.PyTreeNode):
     camera: Camera
     bvh: Optional[BVH] = None
     plucker: Optional[Any] = None  # accel.plucker.PluckerTris (MXU intersector)
+    pallas_tris: Optional[Any] = None  # accel.pallas_intersect.PallasTris
+    has_env: bool = struct.field(pytree_node=False, default=False)
     world_center: Array = None  # (3,)
     world_radius: Array = None  # ()

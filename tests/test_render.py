@@ -56,10 +56,10 @@ class TestIntersect:
         hp = intersect_plucker(scene.geometry, scene.plucker, o, d)
         agree = np.asarray(hb.mask) == np.asarray(hp.mask)
         assert agree.mean() > 0.995  # edge-grazing rays may differ
-        both = np.asarray(hb.mask) & np.asarray(hp.mask) & (
-            np.asarray(hb.tri) == np.asarray(hp.tri)
-        )
-        assert both.mean() > 0.99
+        hits = np.asarray(hb.mask) & np.asarray(hp.mask)
+        tri_same = np.asarray(hb.tri)[hits] == np.asarray(hp.tri)[hits]
+        assert tri_same.mean() > 0.99
+        both = np.where(hits)[0][tri_same]
         np.testing.assert_allclose(
             np.asarray(hb.t)[both], np.asarray(hp.t)[both], rtol=1e-4
         )
