@@ -1,0 +1,101 @@
+"""CLI driver: render a scene file (reference HostProgram/main.cpp:20-62).
+
+    python -m slr_tpu <scene.txt> [--spp N] [--out DIR] [--spectral]
+                      [--width W] [--height H] [--renderer pt|debug]
+                      [--max-depth D]
+
+Like the reference, renders progressive power-of-2 checkpoints (000.png,
+001.png, ... at 1, 2, 4, ... spp) scaled by brightness/(samples so far)
+(PathTracingRenderer.cpp:83-94).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(prog="slr_tpu")
+    ap.add_argument("scene", help="scene description file (SLR DSL)")
+    ap.add_argument("--spp", type=int, default=None,
+                    help="override sample count (default: from the scene file)")
+    ap.add_argument("--width", type=int, default=None)
+    ap.add_argument("--height", type=int, default=None)
+    ap.add_argument("--out", default=".", help="output directory")
+    ap.add_argument("--spectral", action="store_true",
+                    help="full spectral rendering (default RGB)")
+    ap.add_argument("--renderer", choices=("pt", "debug"), default=None,
+                    help="override the scene's renderer (BPT falls back to PT)")
+    ap.add_argument("--max-depth", type=int, default=16)
+    ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/slr_tpu_xla"))
+
+    import numpy as np
+
+    from .render.film import develop, save_png
+    from .render.pt import render
+    from .scene.api import load_scene
+
+    t0 = time.time()
+    scene, renderer_cfg, settings = load_scene(args.scene,
+                                               spectral=args.spectral)
+    print(f"scene loaded: {scene.geometry.num_tris} tris, "
+          f"{scene.materials.num} materials, {scene.lights.num} lights "
+          f"({time.time() - t0:.2f}s)")
+
+    width = args.width or settings["width"]
+    height = args.height or settings["height"]
+    brightness = settings["brightness"]
+    method = (args.renderer or renderer_cfg.get("method", "PT")).lower()
+    spp = args.spp or int(renderer_cfg.get("samples", 16))
+    os.makedirs(args.out, exist_ok=True)
+
+    if method == "debug":
+        from .render.debug import render_aovs
+
+        aov = render_aovs(scene, width, height)
+        save_png(os.path.join(args.out, "gnormal.png"),
+                 np.asarray(aov.g_normal) * 0.5 + 0.5)
+        save_png(os.path.join(args.out, "snormal.png"),
+                 np.asarray(aov.s_normal) * 0.5 + 0.5)
+        dist = np.asarray(aov.distance)
+        dmax = dist.max() or 1.0
+        save_png(os.path.join(args.out, "distance.png"),
+                 np.repeat((dist / dmax)[..., None], 3, axis=-1))
+        print(f"AOVs written to {args.out}")
+        return
+
+    if method == "bpt":
+        print("note: BPT not yet wired into the CLI; rendering with PT")
+
+    # Progressive power-of-2 checkpoints like the reference.
+    t0 = time.time()
+    accum = None
+    done = 0
+    img_idx = 0
+    next_export = 1
+    while done < spp:
+        step = next_export - done
+        img = np.asarray(
+            render(scene, width, height, spp=step, seed=done,
+                   max_depth=args.max_depth)
+        )
+        accum = img * step if accum is None else accum + img * step
+        done += step
+        out = os.path.join(args.out, f"{img_idx:03d}.png")
+        save_png(out, develop(accum / done, brightness))
+        print(f"{done} samples: {out}, {time.time() - t0:.1f}s")
+        img_idx += 1
+        next_export *= 2
+
+
+if __name__ == "__main__":
+    main()

@@ -32,6 +32,37 @@ def camera_derived(cam: Camera):
     return op_width, op_height, img_area
 
 
+def sample_camera_rays_equirect(
+    cam: Camera,
+    px: Array,
+    py: Array,
+    width: int,
+    height: int,
+) -> CameraRays:
+    """Equirectangular (environment) camera rays.
+
+    Reference EquirectangularCamera/IDF (EquirectangularCamera.cpp:28-91):
+    delta lens position, lat-long direction phi = phiAngle*u, theta =
+    thetaAngle*v with PDF = 1/(phiAngle*thetaAngle*(1-y^2)); direction
+    fromPolarYUp = (-sin(phi)sin(theta), cos(theta), cos(phi)sin(theta)).
+    """
+    u = px / width
+    v = py / height
+    phi = cam.phi_angle * u
+    theta = cam.theta_angle * v
+    st = jnp.sin(theta)
+    dir_local = jnp.stack(
+        [-jnp.sin(phi) * st, jnp.cos(theta), jnp.cos(phi) * st], axis=-1
+    )
+    sin2 = jnp.maximum(1.0 - dir_local[..., 1] ** 2, 1e-6)
+    dir_pdf = 1.0 / (cam.phi_angle * cam.theta_angle * sin2)
+    o = jnp.broadcast_to(cam.to_world[:3, 3], dir_local.shape)
+    d = transform_vector(cam.to_world, dir_local)
+    # weight = |dot(dir, gN)| / (areaPDF=1 * dirPDF); gN = camera z axis.
+    weight = jnp.abs(dir_local[..., 2]) / dir_pdf
+    return CameraRays(o=o, d=d, weight=weight)
+
+
 def sample_camera_rays(
     cam: Camera,
     px: Array,

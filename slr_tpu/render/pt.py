@@ -40,7 +40,8 @@ from ..bsdf.bsdf import (
     gather_lobes,
     is_emissive,
 )
-from ..camera.perspective import sample_camera_rays
+from ..camera.perspective import sample_camera_rays, sample_camera_rays_equirect
+from ..scene.types import CameraKind
 from ..core import rng
 from ..core.math3d import Array, dot, frame_from_local, frame_to_local, normalize
 from ..core.rng import Decision
@@ -78,13 +79,67 @@ def scene_intersect(scene: FlatScene, o: Array, d: Array,
     return intersect_brute(scene.geometry, o, d, tmin, tmax)
 
 
+def scene_intersect_alpha(scene: FlatScene, o: Array, d: Array,
+                          tmin=RAY_EPSILON, tmax=jnp.inf,
+                          max_recasts: int = 4) -> Hit:
+    """Closest hit honoring alpha-cutout textures (Triangle::intersect alpha
+    test, TriangleMesh.cpp:163-168): hits whose alpha texture evaluates to 0
+    are skipped by re-casting past them (bounded number of rounds)."""
+    hit = scene_intersect(scene, o, d, tmin, tmax)
+    if not scene.has_alpha:
+        return hit
+    from ..scene.textures import eval_float_texture
+
+    def alpha_zero(h: Hit) -> Array:
+        tri = jnp.maximum(h.tri, 0)
+        aid = scene.geometry.tri_alpha[tri]
+        vidx = scene.geometry.tri_vidx[tri]
+        uv = (
+            h.b0[..., None] * scene.geometry.uvs[vidx[:, 0]]
+            + h.b1[..., None] * scene.geometry.uvs[vidx[:, 1]]
+            + (1.0 - h.b0 - h.b1)[..., None] * scene.geometry.uvs[vidx[:, 2]]
+        )
+        a = eval_float_texture(scene.ftex, aid, uv)
+        return h.mask & (aid >= 0) & (a == 0.0)
+
+    tmin_b = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), hit.t.shape)
+    for _ in range(max_recasts):
+        cut = alpha_zero(hit)
+        tmin_b = jnp.where(cut, hit.t + RAY_EPSILON, tmin_b)
+        rehit = scene_intersect(scene, o, d, tmin_b, tmax)
+        hit = Hit(
+            t=jnp.where(cut, rehit.t, hit.t),
+            tri=jnp.where(cut, rehit.tri, hit.tri),
+            b0=jnp.where(cut, rehit.b0, hit.b0),
+            b1=jnp.where(cut, rehit.b1, hit.b1),
+            mask=jnp.where(cut, rehit.mask, hit.mask),
+        )
+    return hit
+
+
+def resolve_sp(scene: FlatScene, hit: Hit, o: Array, d: Array):
+    """Surface-point resolution + optional bump-map frame perturbation
+    (BumpSingleSurfaceObject, SurfaceObject.cpp:122-134)."""
+    sp = resolve_surface_point(scene.geometry, hit, o, d)
+    if scene.has_normal_map:
+        from ..scene.textures import eval_normal_texture, perturb_frame
+
+        tri = jnp.maximum(hit.tri, 0)
+        ntex_id = scene.geometry.tri_ntex[tri]
+        nlocal = eval_normal_texture(
+            scene.ntex, scene.stex.images, scene.stex.image_hw, ntex_id, sp.uv
+        )
+        sp = perturb_frame(sp, nlocal)
+    return sp
+
+
 def test_visibility(scene: FlatScene, p_from: Array, p_to: Array) -> Array:
     """Shadow test (Scene::testVisibility, SurfaceObject.cpp:417-429).
     Returns True when mutually visible."""
     delta = p_to - p_from
     dist = jnp.linalg.norm(delta, axis=-1)
     d = delta / jnp.maximum(dist, 1e-20)[..., None]
-    hit = scene_intersect(
+    hit = scene_intersect_alpha(
         scene, p_from, d, tmin=RAY_EPSILON, tmax=dist * (1.0 - 1e-3)
     )
     return jnp.logical_not(hit.mask)
@@ -205,8 +260,8 @@ def _trace_core(
         lambdas = None
         hero = jnp.minimum((u_wl * s).astype(jnp.int32), s - 1)
 
-    hit = scene_intersect(scene, o, d)
-    sp = resolve_surface_point(scene.geometry, hit, o, d)
+    hit = scene_intersect_alpha(scene, o, d)
+    sp = resolve_sp(scene, hit, o, d)
 
     alpha = jnp.ones((r, s), jnp.float32)
     radiance = jnp.zeros((r, s), jnp.float32)
@@ -304,7 +359,7 @@ def _trace_core(
             env_area_pdf = uvpdf / jnp.maximum(
                 2.0 * jnp.pi**2 * jnp.sin(e_theta), 1e-8
             )
-            env_hit = scene_intersect(scene, sp.p, e_dir)
+            env_hit = scene_intersect_alpha(scene, sp.p, e_dir)
             env_vis = jnp.logical_not(env_hit.mask)
             le_env = _env_radiance(scene, ex, ey, lambdas)
             e_dir_sn = frame_to_local(fx, fy, fz, e_dir)
@@ -356,8 +411,8 @@ def _trace_core(
         new_d = wi_world
 
         # --- Next intersection ------------------------------------------
-        hit = scene_intersect(scene, new_o, new_d)
-        sp_next = resolve_surface_point(scene.geometry, hit, new_o, new_d)
+        hit = scene_intersect_alpha(scene, new_o, new_d)
+        sp_next = resolve_sp(scene, hit, new_o, new_d)
         still = sample_ok & hit.mask
 
         # Implicit emitter hit with MIS (PathTracingRenderer.cpp:232-249).
@@ -455,54 +510,86 @@ def render(
         strata_to_rgb,
     )
 
+    from ..spectrum.spectral import NUM_STRATA, strata_to_rgb
+
     n_pix = width * height
     spectral = scene.stex.spectral
     s_film = NUM_STRATA if spectral else scene.stex.value.shape[-1]
-    seed_u = jnp.uint32(seed)
 
-    # Fixed-size ray batches: ONE compiled program shape serves every batch,
-    # pass, and resolution (remote XLA compiles cost minutes; recompiling per
-    # resolution would dominate).
+    # Fixed-size ray batches: ONE compiled program (module-level jit; seed,
+    # sample ids and resolution are traced data) serves every batch, pass,
+    # resolution and seed — remote XLA compiles cost minutes, so any
+    # per-call recompile would dominate wall time.
     batch = int(ray_batch or min(n_pix, 65536))
     n_batches = -(-n_pix // batch)
 
-    @partial(jax.jit, static_argnames=())
-    def one_batch(pixel_id, sample_id):
-        pid_c = jnp.minimum(pixel_id, n_pix - 1)
-        px = (pid_c % width).astype(jnp.float32)
-        py = (pid_c // width).astype(jnp.float32)
-        jx = rng.uniform(seed_u, pid_c, sample_id, 0, Decision.PIXEL_X)
-        jy = rng.uniform(seed_u, pid_c, sample_id, 0, Decision.PIXEL_Y)
-        lx = rng.uniform(seed_u, pid_c, sample_id, 0, Decision.LENS_U)
-        ly = rng.uniform(seed_u, pid_c, sample_id, 0, Decision.LENS_V)
-        rays = sample_camera_rays(
-            scene.camera, px + jx, py + jy, width, height, lx, ly
-        )
-        c, lambdas = _trace_core(
-            scene, rays.o, rays.d, pid_c, sample_id, seed_u, max_depth
-        )
-        weight = rays.weight[..., None] * c
-        if spectral:
-            # selectWLPDF division (PathTracingRenderer.cpp:126) followed by
-            # film stratum binning (ImageSensor.cpp:125-139).
-            select_wl_pdf = NUM_SPECTRAL_SAMPLES / (WL_HI - WL_LO)
-            return bin_to_strata(lambdas, weight / select_wl_pdf)
-        return weight
-
     film = np.zeros((n_batches * batch, s_film), np.float32)
+    w_j = jnp.int32(width)
+    h_j = jnp.int32(height)
+    seed_j = jnp.uint32(seed)
     for i in range(spp):
         for b in range(n_batches):
             pixel_id = jnp.arange(
                 b * batch, (b + 1) * batch, dtype=jnp.uint32
             )
             sample_id = jnp.full((batch,), i, jnp.uint32)
-            out = one_batch(pixel_id, sample_id)
+            out = render_batch(
+                scene, pixel_id, sample_id, seed_j, w_j, h_j, max_depth
+            )
             film[b * batch:(b + 1) * batch] += np.asarray(out)
     film = jnp.asarray(film[:n_pix]) / spp
     film = film.reshape(height, width, s_film)
     if spectral:
         film = strata_to_rgb(film)
     return film
+
+
+@partial(jax.jit, static_argnames=("max_depth",))
+def render_batch(
+    scene: FlatScene,
+    pixel_id: Array,
+    sample_id: Array,
+    seed: Array,
+    width: Array,
+    height: Array,
+    max_depth: int,
+) -> Array:
+    """One sample pass over one ray batch -> per-pixel film contributions
+    ((B, 3) RGB or (B, 16) spectral strata). Everything except max_depth and
+    the batch size is traced data, so one compile serves all resolutions,
+    seeds and sample indices."""
+    from ..spectrum.spectral import (
+        NUM_SPECTRAL_SAMPLES,
+        WL_HI,
+        WL_LO,
+        bin_to_strata,
+    )
+
+    pid_c = jnp.minimum(pixel_id, (width * height - 1).astype(jnp.uint32))
+    px = (pid_c % width.astype(jnp.uint32)).astype(jnp.float32)
+    py = (pid_c // width.astype(jnp.uint32)).astype(jnp.float32)
+    jx = rng.uniform(seed, pid_c, sample_id, 0, Decision.PIXEL_X)
+    jy = rng.uniform(seed, pid_c, sample_id, 0, Decision.PIXEL_Y)
+    if scene.camera.kind == CameraKind.EQUIRECTANGULAR:
+        rays = sample_camera_rays_equirect(
+            scene.camera, px + jx, py + jy, width, height
+        )
+    else:
+        lx = rng.uniform(seed, pid_c, sample_id, 0, Decision.LENS_U)
+        ly = rng.uniform(seed, pid_c, sample_id, 0, Decision.LENS_V)
+        rays = sample_camera_rays(
+            scene.camera, px + jx, py + jy, width, height, lx, ly
+        )
+    c, lambdas = _trace_core(
+        scene, rays.o, rays.d, pid_c, sample_id, seed, max_depth
+    )
+    weight = rays.weight[..., None] * c
+    if scene.stex.spectral:
+        # selectWLPDF division (PathTracingRenderer.cpp:126) followed by
+        # film stratum binning (ImageSensor.cpp:125-139).
+        select_wl_pdf = NUM_SPECTRAL_SAMPLES / (WL_HI - WL_LO)
+        return bin_to_strata(lambdas, weight / select_wl_pdf)
+    return weight
 
 
 @partial(jax.jit, static_argnames=("width", "height", "spp", "max_depth"))

@@ -88,6 +88,8 @@ class SceneBuilder:
         self.tri_vidx: list[np.ndarray] = []
         self.tri_mat: list[np.ndarray] = []
         self.tri_alpha: list[np.ndarray] = []
+        self.tri_ntex: list[np.ndarray] = []
+        self.ntex: list[dict] = []
         self._nverts = 0
         self.camera: Optional[Camera] = None
         self.env_stex: int = -1
@@ -203,6 +205,23 @@ class SceneBuilder:
         )
         return len(self.stex) - 1
 
+    def add_ntex_image(self, image_id: int, map_scale=(1, 1),
+                       map_offset=(0, 0)) -> int:
+        self.ntex.append({
+            "kind": 0, "image_id": image_id, "step_width": 1.0, "reverse": 0.0,
+            "map_scale": tuple(map_scale), "map_offset": tuple(map_offset),
+        })
+        return len(self.ntex) - 1
+
+    def add_ntex_checker(self, step_width: float = 0.05, reverse: bool = False,
+                         map_scale=(1, 1), map_offset=(0, 0)) -> int:
+        self.ntex.append({
+            "kind": 1, "image_id": -1, "step_width": float(step_width),
+            "reverse": 1.0 if reverse else 0.0,
+            "map_scale": tuple(map_scale), "map_offset": tuple(map_offset),
+        })
+        return len(self.ntex) - 1
+
     def add_ftex_const(self, value: float) -> int:
         self.ftex.append(_FTex(FTexKind.CONST, float(value)))
         return len(self.ftex) - 1
@@ -306,6 +325,7 @@ class SceneBuilder:
         mat_id: int | np.ndarray,
         transform: Optional[np.ndarray] = None,
         alpha_ftex: int = -1,
+        normal_ntex: int = -1,
     ) -> None:
         """Append a triangle mesh; bakes `transform` (4x4) into the vertices."""
         positions = np.asarray(positions, np.float32).reshape(-1, 3)
@@ -332,6 +352,7 @@ class SceneBuilder:
         mat = np.broadcast_to(np.asarray(mat_id, np.int32), (n_tris,))
         self.tri_mat.append(mat.copy())
         self.tri_alpha.append(np.full((n_tris,), alpha_ftex, np.int32))
+        self.tri_ntex.append(np.full((n_tris,), normal_ntex, np.int32))
         self._nverts += positions.shape[0]
 
     # -- camera / environment ----------------------------------------------
@@ -348,6 +369,22 @@ class SceneBuilder:
             obj_dist=jnp.float32(obj_dist),
             phi_angle=jnp.float32(2 * np.pi),
             theta_angle=jnp.float32(np.pi),
+        )
+
+    def set_camera_equirect(self, to_world: np.ndarray,
+                            phi_angle: float = 2 * np.pi,
+                            theta_angle: float = np.pi) -> None:
+        """EquirectangularCamera (EquirectangularCamera.cpp:28-91)."""
+        self.camera = Camera(
+            kind=CameraKind.EQUIRECTANGULAR,
+            to_world=jnp.asarray(to_world, jnp.float32),
+            aspect=jnp.float32(1.0),
+            fovy=jnp.float32(1.0),
+            lens_radius=jnp.float32(0.0),
+            img_dist=jnp.float32(1.0),
+            obj_dist=jnp.float32(1.0),
+            phi_angle=jnp.float32(phi_angle),
+            theta_angle=jnp.float32(theta_angle),
         )
 
     def set_environment(self, stex_id: int, scale: float = 1.0) -> None:
@@ -367,6 +404,7 @@ class SceneBuilder:
         tri_vidx = np.concatenate(self.tri_vidx)
         tri_mat = np.concatenate(self.tri_mat)
         tri_alpha = np.concatenate(self.tri_alpha)
+        tri_ntex = np.concatenate(self.tri_ntex)
 
         geom = Geometry(
             positions=jnp.asarray(positions),
@@ -376,6 +414,7 @@ class SceneBuilder:
             tri_vidx=jnp.asarray(tri_vidx),
             tri_mat=jnp.asarray(tri_mat),
             tri_alpha=jnp.asarray(tri_alpha),
+            tri_ntex=jnp.asarray(tri_ntex),
         )
 
         # Material SoA.
@@ -509,6 +548,21 @@ class SceneBuilder:
 
         pallas_tris = build_pallas_tris(geom)
 
+        from .types import NormalTextures
+
+        nts = self.ntex or [{
+            "kind": 0, "image_id": -1, "step_width": 1.0, "reverse": 0.0,
+            "map_scale": (1.0, 1.0), "map_offset": (0.0, 0.0),
+        }]
+        ntex_table = NormalTextures(
+            kind=jnp.asarray([t["kind"] for t in nts], jnp.int32),
+            image_id=jnp.asarray([t["image_id"] for t in nts], jnp.int32),
+            step_width=jnp.asarray([t["step_width"] for t in nts], jnp.float32),
+            reverse=jnp.asarray([t["reverse"] for t in nts], jnp.float32),
+            map_scale=jnp.asarray([t["map_scale"] for t in nts], jnp.float32),
+            map_offset=jnp.asarray([t["map_offset"] for t in nts], jnp.float32),
+        )
+
         return FlatScene(
             geometry=geom,
             materials=materials,
@@ -520,7 +574,10 @@ class SceneBuilder:
             bvh=bvh,
             plucker=plucker,
             pallas_tris=pallas_tris,
+            ntex=ntex_table,
             has_env=self.env_stex >= 0,
+            has_normal_map=bool((tri_ntex >= 0).any()),
+            has_alpha=bool((tri_alpha >= 0).any()),
             world_center=jnp.asarray(center),
             world_radius=jnp.float32(radius),
         )

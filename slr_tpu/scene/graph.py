@@ -301,6 +301,22 @@ class _Flattener:
                                     desc.mapping.offset)
         raise ValueError(f"unknown stex kind {desc.kind}")
 
+    def ntex(self, desc: Optional[NTexDesc]) -> int:
+        if desc is None:
+            return -1
+        key = id(desc)
+        if key in self._ftex_cache:  # shared cache keyed by identity
+            return self._ftex_cache[key]
+        b = self.b
+        if desc.kind == "image":
+            img_id = b.add_image(desc.image)
+            tid = b.add_ntex_image(img_id, desc.mapping.scale, desc.mapping.offset)
+        else:  # "checker board" / procedural
+            tid = b.add_ntex_checker(desc.step_width, desc.reverse,
+                                     desc.mapping.scale, desc.mapping.offset)
+        self._ftex_cache[key] = tid
+        return tid
+
     def ftex(self, desc: Optional[FTexDesc]) -> int:
         if desc is None:
             return -1
@@ -382,9 +398,10 @@ class _Flattener:
                 continue
             mid = self.material(mat)
             alpha_id = self.ftex(alpha_tex) if alpha_tex else -1
+            ntex_id = self.ntex(normal_tex) if normal_tex else -1
             self.b.add_mesh(
                 pos, nrm, tan, uv, np.asarray(tris, np.int32), mid,
-                transform=world, alpha_ftex=alpha_id,
+                transform=world, alpha_ftex=alpha_id, normal_ntex=ntex_id,
             )
 
     def walk(self, node: Node, world: np.ndarray) -> None:

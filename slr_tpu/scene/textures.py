@@ -289,3 +289,71 @@ def eval_float_texture_default1(ftex: FloatTextures, tex_id: Array, uv: Array) -
     """Like eval_float_texture but -1 means 1.0 (lobe weight default)."""
     v = eval_float_texture(ftex, tex_id, uv)
     return jnp.where(tex_id >= 0, v, jnp.ones_like(v))
+
+
+def eval_normal_texture(
+    ntex, images: Array, image_hw: Array, tex_id: Array, uv: Array
+) -> Array:
+    """Tangent-space normal from the normal-map table. tex_id: (R,), -1 ->
+    (0,0,1). Image maps decode rgb*2-1 (standard normal-map encoding);
+    checker synthesizes step edges per CheckerBoardNormal3DTexture
+    (checker_board_textures.cpp:16-44).
+    """
+    from .types import NTexKind
+
+    tid = jnp.clip(tex_id, 0, ntex.kind.shape[0] - 1)
+    kind = ntex.kind[tid]
+    tc = uv * ntex.map_scale[tid] + ntex.map_offset[tid]
+
+    out = jnp.zeros(uv.shape[:-1] + (3,), jnp.float32).at[..., 2].set(1.0)
+
+    if images.shape[0] > 0:
+        rgba = _image_fetch(images, image_hw, ntex.image_id[tid], tc[..., 0],
+                            tc[..., 1])
+        n_img = rgba[..., :3] * 2.0 - 1.0
+        n_img = n_img / jnp.maximum(
+            jnp.linalg.norm(n_img, axis=-1, keepdims=True), 1e-6
+        )
+        out = jnp.where((kind == NTexKind.IMAGE)[..., None], n_img, out)
+
+    # Checker step edges.
+    hw = ntex.step_width[tid] * 0.5
+    wu = jnp.mod(jnp.abs(tc[..., 0]), 1.0)
+    wv = jnp.mod(jnp.abs(tc[..., 1]), 1.0)
+    ucomp = jnp.where(
+        (wu < hw * 0.5) | (wu > 1.0 - hw * 0.5), 1.0,
+        jnp.where((wu > 0.5 - hw * 0.5) & (wu < 0.5 + hw * 0.5), -1.0, 0.0),
+    )
+    vcomp = jnp.where(
+        (wv < hw * 0.5) | (wv > 1.0 - hw * 0.5), 1.0,
+        jnp.where((wv > 0.5 - hw * 0.5) & (wv < 0.5 + hw * 0.5), -1.0, 0.0),
+    )
+    ucomp = jnp.where(wv > 0.5, -ucomp, ucomp)
+    vcomp = jnp.where(wu > 0.5, -vcomp, vcomp)
+    rev = ntex.reverse[tid] > 0.5
+    ucomp = jnp.where(rev, -ucomp, ucomp)
+    vcomp = jnp.where(rev, -vcomp, vcomp)
+    n_chk = jnp.stack([ucomp, vcomp, jnp.ones_like(ucomp)], axis=-1)
+    n_chk = n_chk / jnp.linalg.norm(n_chk, axis=-1, keepdims=True)
+    out = jnp.where((kind == NTexKind.CHECKER)[..., None], n_chk, out)
+
+    default = jnp.zeros_like(out).at[..., 2].set(1.0)
+    return jnp.where((tex_id >= 0)[..., None], out, default)
+
+
+def perturb_frame(sp, nlocal: Array):
+    """Bump mapping: rebuild the shading frame from a tangent-space normal
+    (BumpSingleSurfaceObject::getSurfacePoint, SurfaceObject.cpp:122-134)."""
+    from ..core.math3d import frame_from_local, normalize
+
+    ex = jnp.zeros_like(nlocal).at[..., 0].set(1.0)
+    ey = jnp.zeros_like(nlocal).at[..., 1].set(1.0)
+    ndx = jnp.sum(nlocal * ex, axis=-1, keepdims=True)
+    ndy = jnp.sum(nlocal * ey, axis=-1, keepdims=True)
+    t_local = ex - ndx * nlocal
+    b_local = ey - ndy * nlocal
+    fx, fy, fz = sp.tangent, sp.bitangent, sp.sn
+    t = normalize(frame_from_local(fx, fy, fz, t_local))
+    b = normalize(frame_from_local(fx, fy, fz, b_local))
+    n = normalize(frame_from_local(fx, fy, fz, nlocal))
+    return sp._replace(tangent=t, bitangent=b, sn=n)

@@ -110,6 +110,23 @@ class FloatTextures(struct.PyTreeNode):
     map_offset: Array  # (F, 2)
 
 
+class NTexKind(enum.IntEnum):
+    IMAGE = 0     # tangent-space normal map (rgb*2-1)
+    CHECKER = 1   # synthesized step edges (checker_board_textures.cpp:16-44)
+
+
+class NormalTextures(struct.PyTreeNode):
+    """Normal-map table (reference Normal3DTexture). Images index the shared
+    stex atlas. step_width/reverse are the checker-normal parameters."""
+
+    kind: Array        # (N,) int32 NTexKind
+    image_id: Array    # (N,)
+    step_width: Array  # (N,)
+    reverse: Array     # (N,) 0/1
+    map_scale: Array   # (N, 2)
+    map_offset: Array  # (N, 2)
+
+
 class Materials(struct.PyTreeNode):
     """Material table: every material is <= MAX_LOBES tagged lobes.
 
@@ -157,6 +174,7 @@ class Geometry(struct.PyTreeNode):
     tri_vidx: Array
     tri_mat: Array
     tri_alpha: Array
+    tri_ntex: Array = None  # (T,) int32 normal-texture id (-1 = none)
 
     @property
     def num_tris(self) -> int:
@@ -238,6 +256,9 @@ class FlatScene(struct.PyTreeNode):
     bvh: Optional[BVH] = None
     plucker: Optional[Any] = None  # accel.plucker.PluckerTris (MXU intersector)
     pallas_tris: Optional[Any] = None  # accel.pallas_intersect.PallasTris
+    ntex: Optional[NormalTextures] = None
     has_env: bool = struct.field(pytree_node=False, default=False)
+    has_normal_map: bool = struct.field(pytree_node=False, default=False)
+    has_alpha: bool = struct.field(pytree_node=False, default=False)
     world_center: Array = None  # (3,)
     world_radius: Array = None  # ()
