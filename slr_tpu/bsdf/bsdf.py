@@ -213,6 +213,12 @@ def _sn_correction(wi: Array, gn: Array) -> Array:
     return jnp.abs(wi[..., 2]) / jnp.maximum(d, 1e-6)
 
 
+def _sn_correction_dir(v: Array, gn: Array) -> Array:
+    return jnp.abs(v[..., 2]) / jnp.maximum(
+        jnp.abs(jnp.sum(v * gn, axis=-1)), 1e-6
+    )
+
+
 def bsdf_has_nondelta(lobes: LobeBatch) -> Array:
     """(R,) bool — any non-delta lobe present (BSDF::hasNonDelta)."""
     nondelta = lobes.kind != jnp.int32(int(LobeKind.NONE))
@@ -222,8 +228,12 @@ def bsdf_has_nondelta(lobes: LobeBatch) -> Array:
 
 
 def bsdf_evaluate(lobes: LobeBatch, wo: Array, wi: Array, gn: Array,
-                  hero: Array) -> Array:
-    """Full evaluate with side test and sn-correction. Returns (R, S)."""
+                  hero: Array, adjoint: bool = False) -> Array:
+    """Full evaluate with side test and sn-correction. Returns (R, S).
+
+    adjoint=True applies the shading-normal correction with the query
+    direction instead of the evaluated one (BSDF::evaluate, h:256-258) —
+    importance transport along light subpaths."""
     match = _side_match(lobes.kind, wo, wi, gn)
     fs = jnp.sum(
         jnp.where(
@@ -231,7 +241,8 @@ def bsdf_evaluate(lobes: LobeBatch, wo: Array, wi: Array, gn: Array,
         ),
         axis=1,
     )
-    return fs * _sn_correction(wi, gn)[..., None]
+    corr = _sn_correction_dir(wo if adjoint else wi, gn)
+    return fs * corr[..., None]
 
 
 def bsdf_pdf(lobes: LobeBatch, wo: Array, wi: Array, gn: Array,

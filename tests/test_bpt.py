@@ -1,0 +1,54 @@
+"""BPT tests: PT-vs-BPT convergence cross-check (the reference's own
+verification method, SURVEY.md §4 item 1) and basic sanity."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from slr_tpu.render.bpt import render_bpt
+from slr_tpu.render.pt import render
+from slr_tpu.scene.presets import cornell_box_spheres
+
+
+@pytest.fixture(scope="module")
+def cornell_small():
+    return cornell_box_spheres(sphere_res=6, use_bvh=False, metal=False,
+                               glass=False)
+
+
+class TestBPT:
+    def test_finite_and_positive(self, cornell_small):
+        img = np.asarray(render_bpt(cornell_small, 24, 18, spp=2))
+        assert np.isfinite(img).all()
+        assert (img >= 0).all()
+        assert img.mean() > 0.01
+
+    def test_pt_bpt_agree(self, cornell_small):
+        """Two independent estimators of the same integral must agree in the
+        mean (reference cross-check: both renderers configured per scene)."""
+        w, h = 24, 18
+        pt = np.asarray(render(cornell_small, w, h, spp=48, max_depth=4))
+        bpt = np.asarray(
+            render_bpt(cornell_small, w, h, spp=48, max_light_verts=4,
+                       max_eye_verts=4)
+        )
+        # compare mean image intensity (pixel-level MC noise is large at
+        # these sample counts; the integrals must match)
+        np.testing.assert_allclose(bpt.mean(), pt.mean(), rtol=0.12)
+        # and per-channel means
+        np.testing.assert_allclose(
+            bpt.mean(axis=(0, 1)), pt.mean(axis=(0, 1)), rtol=0.15
+        )
+
+    def test_light_tracing_splats_present(self, cornell_small):
+        """t=1 strategies splat energy outside the pixel's own path."""
+        img1 = np.asarray(
+            render_bpt(cornell_small, 16, 12, spp=2, max_eye_verts=1)
+        )
+        # with only the lens vertex on the eye side, ALL energy comes from
+        # t=1 splats; image must still be lit
+        assert img1.mean() > 0.001
+
+    def test_deterministic(self, cornell_small):
+        a = np.asarray(render_bpt(cornell_small, 12, 9, spp=1))
+        b = np.asarray(render_bpt(cornell_small, 12, 9, spp=1))
+        np.testing.assert_array_equal(a, b)
