@@ -30,6 +30,39 @@ from .intersect import Hit, moller_trumbore
 MAX_STACK = 64
 
 
+def build_bvh(positions: np.ndarray, tri_vidx: np.ndarray,
+              method: str = "auto") -> BVH:
+    """Build the scene BVH. `method`: "sbvh" (native C++ binned-SAH with
+    Stich2009 spatial splits — the reference's default accelerator,
+    SBVH.h:57-348), "lbvh" (Python Morton median-split), or "auto" (SBVH when
+    the native library is available, LBVH otherwise)."""
+    if method not in ("auto", "sbvh", "lbvh"):
+        raise ValueError(f"unknown BVH method {method!r}")
+    if method != "lbvh" and len(tri_vidx) >= 2:
+        from ..native import sbvh_build
+
+        positions = np.asarray(positions, np.float32)
+        tri_vidx = np.asarray(tri_vidx)
+        res = sbvh_build(
+            positions[tri_vidx[:, 0]],
+            positions[tri_vidx[:, 1]],
+            positions[tri_vidx[:, 2]],
+        )
+        # The lock-step traversal has a fixed MAX_STACK; an overly deep tree
+        # falls back to the (balanced) median-split builder.
+        if res is not None and res.depth + 2 < MAX_STACK:
+            return BVH(
+                node_min=jnp.asarray(res.node_min),
+                node_max=jnp.asarray(res.node_max),
+                node_left=jnp.asarray(res.node_left),
+                node_right=jnp.asarray(res.node_right),
+                prim_order=jnp.asarray(res.prim_order),
+            )
+        if method == "sbvh":
+            raise RuntimeError("native SBVH build unavailable or tree too deep")
+    return build_lbvh(positions, tri_vidx)
+
+
 def build_lbvh(positions: np.ndarray, tri_vidx: np.ndarray) -> BVH:
     """Median-split BVH over triangle centroids, Morton-presorted.
 

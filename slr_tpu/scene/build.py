@@ -536,9 +536,9 @@ class SceneBuilder:
 
         bvh = None
         if use_bvh:
-            from ..accel.lbvh import build_lbvh
+            from ..accel.lbvh import build_bvh
 
-            bvh = build_lbvh(positions, tri_vidx)
+            bvh = build_bvh(positions, tri_vidx)
 
         from ..accel.plucker import build_plucker
 
