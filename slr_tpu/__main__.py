@@ -25,10 +25,14 @@ def main() -> None:
     ap.add_argument("--out", default=".", help="output directory")
     ap.add_argument("--spectral", action="store_true",
                     help="full spectral rendering (default RGB)")
-    ap.add_argument("--renderer", choices=("pt", "debug"), default=None,
-                    help="override the scene's renderer (BPT falls back to PT)")
+    ap.add_argument("--renderer", choices=("pt", "bpt", "debug"), default=None,
+                    help="override the scene's renderer")
     ap.add_argument("--max-depth", type=int, default=16)
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from the checkpoint in --out (film + sample "
+                    "counter; continuation is bitwise-identical to an "
+                    "uninterrupted run thanks to the counter-based RNG)")
     args = ap.parse_args()
 
     import jax
@@ -73,25 +77,50 @@ def main() -> None:
         print(f"AOVs written to {args.out}")
         return
 
-    if method == "bpt":
-        print("note: BPT not yet wired into the CLI; rendering with PT")
+    use_bpt = method == "bpt"
+    if use_bpt and scene.has_env:
+        print("note: BPT lacks env-light strategies; rendering with PT")
+        use_bpt = False
 
-    # Progressive power-of-2 checkpoints like the reference.
+    rng_seed = int(settings.get("rngSeed", 0)) & 0xFFFFFFFF
+
+    def render_pass(step: int, offset: int) -> np.ndarray:
+        if use_bpt:
+            from .render.bpt import render_bpt
+
+            return np.asarray(render_bpt(scene, width, height, spp=step,
+                                         seed=rng_seed, sample_offset=offset))
+        return np.asarray(render(scene, width, height, spp=step,
+                                 seed=rng_seed, max_depth=args.max_depth,
+                                 sample_offset=offset))
+
+    # Progressive power-of-2 exports like the reference, with a resumable
+    # film checkpoint at every export (utils/checkpoint.py).
+    from .utils.checkpoint import load_checkpoint, save_checkpoint
+
+    ckpt_path = os.path.join(args.out, "checkpoint")
     t0 = time.time()
     accum = None
     done = 0
+    if args.resume:
+        state = load_checkpoint(ckpt_path)
+        if state is not None:
+            accum = np.asarray(state["accum"])
+            done = int(state["done"])
+            print(f"resumed at {done} samples")
     img_idx = 0
     next_export = 1
+    while next_export <= done:
+        img_idx += 1
+        next_export *= 2
     while done < spp:
-        step = next_export - done
-        img = np.asarray(
-            render(scene, width, height, spp=step, seed=done,
-                   max_depth=args.max_depth)
-        )
+        step = min(next_export, spp) - done
+        img = render_pass(step, offset=done)
         accum = img * step if accum is None else accum + img * step
         done += step
         out = os.path.join(args.out, f"{img_idx:03d}.png")
         save_png(out, develop(accum / done, brightness))
+        save_checkpoint(ckpt_path, {"accum": accum, "done": done})
         print(f"{done} samples: {out}, {time.time() - t0:.1f}s")
         img_idx += 1
         next_export *= 2

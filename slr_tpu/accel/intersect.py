@@ -27,6 +27,7 @@ class Hit(NamedTuple):
     b0: Array       # (R,) barycentric of v0 (reference isect.u)
     b1: Array       # (R,) barycentric of v1 (reference isect.v)
     mask: Array     # (R,) bool
+    inst: Array = None  # (R,) int32 instance id (-1 = static geometry)
 
 
 class SurfacePoint(NamedTuple):

@@ -173,6 +173,61 @@ def build_lbvh(positions: np.ndarray, tri_vidx: np.ndarray) -> BVH:
     )
 
 
+def build_bvh_boxes_np(
+    bmin: np.ndarray, bmax: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Median-split BVH over arbitrary AABBs (host NumPy). Returns
+    (node_min, node_max, node_left, node_right, order) in the same flat
+    layout as BVH; used for the TLAS over instance motion bounds. n >= 2."""
+    n = len(bmin)
+    assert n >= 2
+    s_min = np.asarray(bmin, np.float32).copy()
+    s_max = np.asarray(bmax, np.float32).copy()
+    s_cent = 0.5 * (s_min + s_max)
+    order = np.arange(n, dtype=np.int32)
+
+    num_nodes = n - 1
+    node_min = np.zeros((num_nodes, 3), np.float32)
+    node_max = np.zeros((num_nodes, 3), np.float32)
+    node_left = np.zeros((num_nodes,), np.int32)
+    node_right = np.zeros((num_nodes,), np.int32)
+
+    next_id = [0]
+
+    def alloc():
+        i = next_id[0]
+        next_id[0] += 1
+        return i
+
+    work = [(0, n, alloc())]
+    while work:
+        lo_i, hi_i, nid = work.pop()
+        node_min[nid] = s_min[lo_i:hi_i].min(axis=0)
+        node_max[nid] = s_max[lo_i:hi_i].max(axis=0)
+        c = s_cent[lo_i:hi_i]
+        axis = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
+        local = np.argsort(c[:, axis], kind="stable")
+        sel = np.arange(lo_i, hi_i)[local]
+        s_min[lo_i:hi_i] = s_min[sel]
+        s_max[lo_i:hi_i] = s_max[sel]
+        s_cent[lo_i:hi_i] = s_cent[sel]
+        order[lo_i:hi_i] = order[sel]
+        mid = lo_i + (hi_i - lo_i) // 2
+        if mid - lo_i == 1:
+            node_left[nid] = -(lo_i) - 1
+        else:
+            cid = alloc()
+            node_left[nid] = cid
+            work.append((lo_i, mid, cid))
+        if hi_i - mid == 1:
+            node_right[nid] = -(mid) - 1
+        else:
+            cid = alloc()
+            node_right[nid] = cid
+            work.append((mid, hi_i, cid))
+    return node_min, node_max, node_left, node_right, order
+
+
 def _slab_test(bmin, bmax, o, inv_d, tmin, tmax):
     """AABB slab test (reference BoundingBox3D::intersect, geometry.h:39-135)."""
     t0 = (bmin - o) * inv_d

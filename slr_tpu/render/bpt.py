@@ -695,6 +695,7 @@ def render_bpt(
     max_light_verts: int = 4,
     max_eye_verts: int = 4,
     ray_batch: int | None = None,
+    sample_offset: int = 0,
 ):
     """Full-frame BPT render -> (H, W, 3) linear RGB mean radiance."""
     from ..spectrum.spectral import NUM_STRATA, strata_to_rgb
@@ -715,7 +716,7 @@ def render_bpt(
     for i in range(spp):
         for b in range(n_batches):
             pixel_id = jnp.arange(b * batch, (b + 1) * batch, dtype=jnp.uint32)
-            sample_id = jnp.full((batch,), i, jnp.uint32)
+            sample_id = jnp.full((batch,), sample_offset + i, jnp.uint32)
             film = bpt_batch(
                 scene, pixel_id, sample_id, seed_j, w_j, h_j, film,
                 max_light_verts, max_eye_verts,

@@ -56,36 +56,67 @@ from ..spectrum.rgb import importance
 
 
 def scene_intersect(scene: FlatScene, o: Array, d: Array,
-                    tmin=RAY_EPSILON, tmax=jnp.inf) -> Hit:
+                    tmin=RAY_EPSILON, tmax=jnp.inf, f: Array | None = None
+                    ) -> Hit:
     """Accelerator dispatch (static pytree structure): the fused Pallas
     Plücker kernel on TPU, the XLA Plücker path elsewhere; BVH / scan-brute
-    remain available for validation and very large scenes."""
+    remain available for validation and very large scenes.
+
+    The single-level accelerators cover the static triangle prefix; scenes
+    with instanced/animated geometry additionally traverse the two-level
+    structure at shutter fraction `f` and the closer hit wins (the analogue
+    of the aggregate + TransformedSurfaceObject mix, SurfaceObject.cpp)."""
+    geom = scene.geometry
+    if scene.instances is not None and scene.n_static >= 0:
+        # Brute-force scans must not see the local-space instanced tail.
+        geom = geom.replace(
+            tri_vidx=geom.tri_vidx[: scene.n_static],
+            tri_mat=geom.tri_mat[: scene.n_static],
+            tri_alpha=geom.tri_alpha[: scene.n_static],
+            tri_ntex=geom.tri_ntex[: scene.n_static],
+        )
     if scene.pallas_tris is not None and jax.default_backend() not in (
         "cpu", "gpu"
     ):
         from ..accel.pallas_intersect import intersect_pallas
 
-        return intersect_pallas(
-            scene.geometry, scene.pallas_tris, o, d, tmin, tmax
-        )
-    if scene.plucker is not None:
+        hit = intersect_pallas(geom, scene.pallas_tris, o, d, tmin, tmax)
+    elif scene.plucker is not None:
         from ..accel.plucker import intersect_plucker
 
-        return intersect_plucker(scene.geometry, scene.plucker, o, d, tmin, tmax)
-    if scene.bvh is not None:
+        hit = intersect_plucker(geom, scene.plucker, o, d, tmin, tmax)
+    elif scene.bvh is not None:
         from ..accel.lbvh import intersect_bvh
 
-        return intersect_bvh(scene.geometry, scene.bvh, o, d, tmin, tmax)
-    return intersect_brute(scene.geometry, o, d, tmin, tmax)
+        hit = intersect_bvh(geom, scene.bvh, o, d, tmin, tmax)
+    else:
+        hit = intersect_brute(geom, o, d, tmin, tmax)
+    if scene.instances is None:
+        return hit
+    from ..accel.twolevel import intersect_instances
+
+    f = jnp.zeros(o.shape[:1], jnp.float32) if f is None else f
+    hit2 = intersect_instances(
+        scene.geometry, scene.instances, o, d, f, tmin, tmax
+    )
+    closer = hit2.mask & (hit2.t < jnp.where(hit.mask, hit.t, jnp.inf))
+    return Hit(
+        t=jnp.where(closer, hit2.t, hit.t),
+        tri=jnp.where(closer, hit2.tri, hit.tri),
+        b0=jnp.where(closer, hit2.b0, hit.b0),
+        b1=jnp.where(closer, hit2.b1, hit.b1),
+        mask=hit.mask | hit2.mask,
+        inst=jnp.where(closer, hit2.inst, -1),
+    )
 
 
 def scene_intersect_alpha(scene: FlatScene, o: Array, d: Array,
                           tmin=RAY_EPSILON, tmax=jnp.inf,
-                          max_recasts: int = 4) -> Hit:
+                          max_recasts: int = 4, f: Array | None = None) -> Hit:
     """Closest hit honoring alpha-cutout textures (Triangle::intersect alpha
     test, TriangleMesh.cpp:163-168): hits whose alpha texture evaluates to 0
     are skipped by re-casting past them (bounded number of rounds)."""
-    hit = scene_intersect(scene, o, d, tmin, tmax)
+    hit = scene_intersect(scene, o, d, tmin, tmax, f)
     if not scene.has_alpha:
         return hit
     from ..scene.textures import eval_float_texture
@@ -106,21 +137,53 @@ def scene_intersect_alpha(scene: FlatScene, o: Array, d: Array,
     for _ in range(max_recasts):
         cut = alpha_zero(hit)
         tmin_b = jnp.where(cut, hit.t + RAY_EPSILON, tmin_b)
-        rehit = scene_intersect(scene, o, d, tmin_b, tmax)
+        rehit = scene_intersect(scene, o, d, tmin_b, tmax, f)
         hit = Hit(
             t=jnp.where(cut, rehit.t, hit.t),
             tri=jnp.where(cut, rehit.tri, hit.tri),
             b0=jnp.where(cut, rehit.b0, hit.b0),
             b1=jnp.where(cut, rehit.b1, hit.b1),
             mask=jnp.where(cut, rehit.mask, hit.mask),
+            inst=None if hit.inst is None
+            else jnp.where(cut, rehit.inst, hit.inst),
         )
     return hit
 
 
-def resolve_sp(scene: FlatScene, hit: Hit, o: Array, d: Array):
+def resolve_sp(scene: FlatScene, hit: Hit, o: Array, d: Array,
+               f: Array | None = None):
     """Surface-point resolution + optional bump-map frame perturbation
-    (BumpSingleSurfaceObject, SurfaceObject.cpp:122-134)."""
+    (BumpSingleSurfaceObject, SurfaceObject.cpp:122-134). For instanced hits
+    the shading frame is brought from instance-local to world space at the
+    ray's shutter fraction — the analogue of the transform-stack unwind in
+    Intersection::getSurfacePoint (SurfaceObject.cpp:329-336). The hit
+    position is already world-space (o + d*t with a world-parameter t)."""
     sp = resolve_surface_point(scene.geometry, hit, o, d)
+    if scene.instances is not None and hit.inst is not None:
+        from ..core.math3d import normalize as _normalize
+        from ..core.transform import trs_apply_normal, trs_apply_vector, trs_at
+
+        inst = scene.instances
+        f_ = jnp.zeros(hit.t.shape, jnp.float32) if f is None else f
+        i = jnp.maximum(hit.inst, 0)
+        T, R, S = trs_at(
+            inst.t0_T[i], inst.t0_R[i], inst.t0_S[i],
+            inst.t1_T[i], inst.t1_R[i], inst.t1_S[i], f_,
+        )
+        on_inst = (hit.inst >= 0)[..., None]
+        gn_w = _normalize(trs_apply_normal(T, R, S, sp.gn))
+        sn_w = _normalize(trs_apply_normal(T, R, S, sp.sn))
+        tan_w = _normalize(trs_apply_vector(T, R, S, sp.tangent))
+        sn = jnp.where(on_inst, sn_w, sp.sn)
+        tangent = jnp.where(on_inst, tan_w, sp.tangent)
+        sp = sp._replace(
+            gn=jnp.where(on_inst, gn_w, sp.gn),
+            sn=sn,
+            tangent=tangent,
+            bitangent=jnp.where(
+                on_inst, jnp.cross(sn_w, tan_w), sp.bitangent
+            ),
+        )
     if scene.has_normal_map:
         from ..scene.textures import eval_normal_texture, perturb_frame
 
@@ -133,14 +196,15 @@ def resolve_sp(scene: FlatScene, hit: Hit, o: Array, d: Array):
     return sp
 
 
-def test_visibility(scene: FlatScene, p_from: Array, p_to: Array) -> Array:
+def test_visibility(scene: FlatScene, p_from: Array, p_to: Array,
+                    f: Array | None = None) -> Array:
     """Shadow test (Scene::testVisibility, SurfaceObject.cpp:417-429).
     Returns True when mutually visible."""
     delta = p_to - p_from
     dist = jnp.linalg.norm(delta, axis=-1)
     d = delta / jnp.maximum(dist, 1e-20)[..., None]
     hit = scene_intersect_alpha(
-        scene, p_from, d, tmin=RAY_EPSILON, tmax=dist * (1.0 - 1e-3)
+        scene, p_from, d, tmin=RAY_EPSILON, tmax=dist * (1.0 - 1e-3), f=f
     )
     return jnp.logical_not(hit.mask)
 
@@ -260,8 +324,16 @@ def _trace_core(
         lambdas = None
         hero = jnp.minimum((u_wl * s).astype(jnp.int32), s - 1)
 
-    hit = scene_intersect_alpha(scene, o, d)
-    sp = resolve_sp(scene, hit, o, d)
+    # Shutter-fraction sampling (the reference's time sample, Decision.TIME;
+    # PathTracingRenderer.cpp:105). Only scenes with animated/instanced
+    # content trace the two-level structure, so static scenes skip it.
+    if scene.instances is not None:
+        f_time = rng.uniform(seed, pixel_id, sample_id, 0, Decision.TIME)
+    else:
+        f_time = None
+
+    hit = scene_intersect_alpha(scene, o, d, f=f_time)
+    sp = resolve_sp(scene, hit, o, d, f=f_time)
 
     alpha = jnp.ones((r, s), jnp.float32)
     radiance = jnp.zeros((r, s), jnp.float32)
@@ -315,7 +387,7 @@ def _trace_core(
         light_tri, light_prob, is_env = _select_light(scene, u_sel)
         lp = sample_triangle_point(scene.geometry, light_tri, lu0, lu1)
 
-        vis = test_visibility(scene, sp.p, lp.p)
+        vis = test_visibility(scene, sp.p, lp.p, f=f_time)
         delta_p = lp.p - sp.p
         dist2 = jnp.maximum(jnp.sum(delta_p * delta_p, axis=-1), 1e-12)
         shadow_dir = delta_p / jnp.sqrt(dist2)[..., None]
@@ -359,7 +431,7 @@ def _trace_core(
             env_area_pdf = uvpdf / jnp.maximum(
                 2.0 * jnp.pi**2 * jnp.sin(e_theta), 1e-8
             )
-            env_hit = scene_intersect_alpha(scene, sp.p, e_dir)
+            env_hit = scene_intersect_alpha(scene, sp.p, e_dir, f=f_time)
             env_vis = jnp.logical_not(env_hit.mask)
             le_env = _env_radiance(scene, ex, ey, lambdas)
             e_dir_sn = frame_to_local(fx, fy, fz, e_dir)
@@ -411,8 +483,8 @@ def _trace_core(
         new_d = wi_world
 
         # --- Next intersection ------------------------------------------
-        hit = scene_intersect_alpha(scene, new_o, new_d)
-        sp_next = resolve_sp(scene, hit, new_o, new_d)
+        hit = scene_intersect_alpha(scene, new_o, new_d, f=f_time)
+        sp_next = resolve_sp(scene, hit, new_o, new_d, f=f_time)
         still = sample_ok & hit.mask
 
         # Implicit emitter hit with MIS (PathTracingRenderer.cpp:232-249).
@@ -498,9 +570,14 @@ def render(
     seed: int = 0,
     max_depth: int = 16,
     ray_batch: int | None = None,
+    sample_offset: int = 0,
 ) -> Array:
     """Render an image by accumulating spp sample passes. Returns (H, W, S)
-    of *linear* mean radiance (develop with render/film.py)."""
+    of *linear* mean radiance (develop with render/film.py).
+
+    Sample streams are keyed by (seed, absolute sample id = sample_offset+i),
+    so splitting an N-spp render into passes — or checkpoint-resuming one —
+    reproduces the uninterrupted result bit for bit."""
     from ..spectrum.spectral import (
         NUM_STRATA,
         WL_HI,
@@ -532,7 +609,7 @@ def render(
             pixel_id = jnp.arange(
                 b * batch, (b + 1) * batch, dtype=jnp.uint32
             )
-            sample_id = jnp.full((batch,), i, jnp.uint32)
+            sample_id = jnp.full((batch,), sample_offset + i, jnp.uint32)
             out = render_batch(
                 scene, pixel_id, sample_id, seed_j, w_j, h_j, max_depth
             )

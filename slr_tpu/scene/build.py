@@ -94,6 +94,10 @@ class SceneBuilder:
         self.camera: Optional[Camera] = None
         self.env_stex: int = -1
         self.env_scale: float = 1.0
+        # Two-level path: per-BLAS mesh buffers (local space) + instance rows.
+        self._blas: list[dict] = []
+        self._cur_blas: Optional[dict] = None
+        self.instance_rows: list[tuple[int, np.ndarray, np.ndarray]] = []
 
     # -- textures -----------------------------------------------------------
     def _spec(self, v, illuminant: bool = False) -> np.ndarray:
@@ -344,16 +348,58 @@ class SceneBuilder:
             tnorms = np.linalg.norm(tangents, axis=-1, keepdims=True)
             tangents = tangents / np.maximum(tnorms, 1e-20)
         n_tris = tri_vidx.shape[0]
+        mat = np.broadcast_to(np.asarray(mat_id, np.int32), (n_tris,))
+        if self._cur_blas is not None:
+            b = self._cur_blas
+            b["positions"].append(positions)
+            b["normals"].append(normals)
+            b["tangents"].append(tangents)
+            b["uvs"].append(uvs)
+            b["tri_vidx"].append(tri_vidx + b["nverts"])
+            b["tri_mat"].append(mat.copy())
+            b["tri_alpha"].append(np.full((n_tris,), alpha_ftex, np.int32))
+            b["tri_ntex"].append(np.full((n_tris,), normal_ntex, np.int32))
+            b["nverts"] += positions.shape[0]
+            return
         self.positions.append(positions)
         self.normals.append(normals)
         self.tangents.append(tangents)
         self.uvs.append(uvs)
         self.tri_vidx.append(tri_vidx + self._nverts)
-        mat = np.broadcast_to(np.asarray(mat_id, np.int32), (n_tris,))
         self.tri_mat.append(mat.copy())
         self.tri_alpha.append(np.full((n_tris,), alpha_ftex, np.int32))
         self.tri_ntex.append(np.full((n_tris,), normal_ntex, np.int32))
         self._nverts += positions.shape[0]
+
+    # -- instancing / motion blur (two-level path) ---------------------------
+
+    def begin_blas(self) -> int:
+        """Start recording a shared BLAS: subsequent add_mesh calls append
+        LOCAL-space geometry to it until end_blas(). The analogue of
+        ReferenceNode building its subtree's aggregate once (nodes.cpp:
+        174-184)."""
+        assert self._cur_blas is None, "nested BLAS recording"
+        self._cur_blas = {
+            "positions": [], "normals": [], "tangents": [], "uvs": [],
+            "tri_vidx": [], "tri_mat": [], "tri_alpha": [], "tri_ntex": [],
+            "nverts": 0,
+        }
+        self._blas.append(self._cur_blas)
+        return len(self._blas) - 1
+
+    def end_blas(self) -> None:
+        assert self._cur_blas is not None
+        assert self._cur_blas["positions"], "BLAS recorded no geometry"
+        self._cur_blas = None
+
+    def add_instance(self, blas_id: int, m_begin: np.ndarray,
+                     m_end: Optional[np.ndarray] = None) -> None:
+        """Instance a recorded BLAS with world transforms at the shutter
+        endpoints (equal or m_end=None for a static instance) — the analogue
+        of one TransformedSurfaceObject wrapper (SurfaceObject.cpp:307-336)."""
+        m0 = np.asarray(m_begin, np.float32)
+        m1 = m0 if m_end is None else np.asarray(m_end, np.float32)
+        self.instance_rows.append((blas_id, m0, m1))
 
     # -- camera / environment ----------------------------------------------
     def set_camera_perspective(self, to_world: np.ndarray, aspect: float,
@@ -396,7 +442,19 @@ class SceneBuilder:
         s = self.s
         if self.camera is None:
             self.set_camera_perspective(np.eye(4, dtype=np.float32), 1.0, 0.52)
-        assert self.positions, "scene has no geometry"
+        assert self.positions or self._blas, "scene has no geometry"
+        if not self.positions:
+            # Fully-instanced scene: keep a degenerate (never-hit) static
+            # triangle so the static prefix and its accelerators stay valid.
+            self.positions.append(np.full((3, 3), 1e30, np.float32))
+            self.normals.append(np.tile(np.float32([0, 1, 0]), (3, 1)))
+            self.tangents.append(np.tile(np.float32([1, 0, 0]), (3, 1)))
+            self.uvs.append(np.zeros((3, 2), np.float32))
+            self.tri_vidx.append(np.asarray([[0, 1, 2]], np.int32) + self._nverts)
+            self.tri_mat.append(np.zeros((1,), np.int32))
+            self.tri_alpha.append(np.full((1,), -1, np.int32))
+            self.tri_ntex.append(np.full((1,), -1, np.int32))
+            self._nverts += 3
         positions = np.concatenate(self.positions)
         normals = np.concatenate(self.normals)
         tangents = np.concatenate(self.tangents)
@@ -405,6 +463,39 @@ class SceneBuilder:
         tri_mat = np.concatenate(self.tri_mat)
         tri_alpha = np.concatenate(self.tri_alpha)
         tri_ntex = np.concatenate(self.tri_ntex)
+        n_static = tri_vidx.shape[0]
+
+        # Append BLAS geometry (local space) after the static prefix; the
+        # static accelerators below only cover [0, n_static).
+        blas_ranges: list[tuple[int, int]] = []
+        if self._blas:
+            assert self._cur_blas is None, "unterminated BLAS recording"
+            voff = positions.shape[0]
+            toff = n_static
+            parts_p, parts_n, parts_t, parts_u = [], [], [], []
+            parts_v, parts_m, parts_a, parts_x = [], [], [], []
+            for b in self._blas:
+                bp = np.concatenate(b["positions"])
+                bt = np.concatenate(b["tri_vidx"])
+                parts_p.append(bp)
+                parts_n.append(np.concatenate(b["normals"]))
+                parts_t.append(np.concatenate(b["tangents"]))
+                parts_u.append(np.concatenate(b["uvs"]))
+                parts_v.append(bt + voff)
+                parts_m.append(np.concatenate(b["tri_mat"]))
+                parts_a.append(np.concatenate(b["tri_alpha"]))
+                parts_x.append(np.concatenate(b["tri_ntex"]))
+                blas_ranges.append((toff, toff + bt.shape[0]))
+                voff += bp.shape[0]
+                toff += bt.shape[0]
+            positions = np.concatenate([positions, *parts_p])
+            normals = np.concatenate([normals, *parts_n])
+            tangents = np.concatenate([tangents, *parts_t])
+            uvs = np.concatenate([uvs, *parts_u])
+            tri_vidx = np.concatenate([tri_vidx, *parts_v])
+            tri_mat = np.concatenate([tri_mat, *parts_m])
+            tri_alpha = np.concatenate([tri_alpha, *parts_a])
+            tri_ntex = np.concatenate([tri_ntex, *parts_x])
 
         geom = Geometry(
             positions=jnp.asarray(positions),
@@ -498,7 +589,9 @@ class SceneBuilder:
 
         # Light table: every emissive triangle is one light with importance 1
         # (SurfaceObject.cpp:69-71); env sphere adds importance 1 if present.
-        emissive = emit_stex[tri_mat] >= 0
+        # Instanced emitters are baked by the flattener, so the light table
+        # only scans the static prefix.
+        emissive = emit_stex[tri_mat[:n_static]] >= 0
         light_tris = np.nonzero(emissive)[0].astype(np.int32)
         n_area = len(light_tris)
         if n_area == 0:
@@ -529,24 +622,56 @@ class SceneBuilder:
             scale=jnp.float32(self.env_scale),
         )
 
-        lo = positions.min(axis=0)
-        hi = positions.max(axis=0)
+        # Two-level structure for instanced / animated geometry.
+        instances = None
+        if self.instance_rows:
+            from ..accel.instances import build_instances
+
+            instances = build_instances(
+                positions, tri_vidx, blas_ranges, self.instance_rows
+            )
+        elif self._blas:
+            raise ValueError("BLAS recorded but no instances added")
+
+        # World bounding sphere (Scene::build, SurfaceObject.cpp:400-405):
+        # static geometry (excluding any never-hit dummy at 1e30) plus the
+        # instances' motion bounds.
+        static_verts = positions[tri_vidx[:n_static].reshape(-1)]
+        static_verts = static_verts[np.abs(static_verts).max(axis=1) < 1e29]
+        boxes = []
+        if len(static_verts):
+            boxes.append((static_verts.min(axis=0), static_verts.max(axis=0)))
+        if instances is not None:
+            boxes.append((
+                np.asarray(instances.inst_bmin).min(axis=0),
+                np.asarray(instances.inst_bmax).max(axis=0),
+            ))
+        lo = np.min([b[0] for b in boxes], axis=0)
+        hi = np.max([b[1] for b in boxes], axis=0)
         center = 0.5 * (lo + hi)
         radius = float(np.linalg.norm(hi - center)) + 1e-3
+
+        # Static-prefix views for the single-level accelerators.
+        geom_static = geom.replace(
+            tri_vidx=jnp.asarray(tri_vidx[:n_static]),
+            tri_mat=jnp.asarray(tri_mat[:n_static]),
+            tri_alpha=jnp.asarray(tri_alpha[:n_static]),
+            tri_ntex=jnp.asarray(tri_ntex[:n_static]),
+        )
 
         bvh = None
         if use_bvh:
             from ..accel.lbvh import build_bvh
 
-            bvh = build_bvh(positions, tri_vidx)
+            bvh = build_bvh(positions, tri_vidx[:n_static])
 
         from ..accel.plucker import build_plucker
 
-        plucker = build_plucker(geom)
+        plucker = build_plucker(geom_static)
 
         from ..accel.pallas_intersect import build_pallas_tris
 
-        pallas_tris = build_pallas_tris(geom)
+        pallas_tris = build_pallas_tris(geom_static)
 
         from .types import NormalTextures
 
@@ -575,6 +700,8 @@ class SceneBuilder:
             plucker=plucker,
             pallas_tris=pallas_tris,
             ntex=ntex_table,
+            instances=instances,
+            n_static=n_static,
             has_env=self.env_stex >= 0,
             has_normal_map=bool((tri_ntex >= 0).any()),
             has_alpha=bool((tri_alpha >= 0).any()),

@@ -222,9 +222,36 @@ class SceneDesc:
 # ---------------------------------------------------------------------------
 
 def _static_matrix(tf: Any) -> np.ndarray:
-    if isinstance(tf, tuple):  # animated: bake the begin transform for now
+    if isinstance(tf, tuple):  # animated: the begin matrix
         return np.asarray(tf[0], np.float32)
     return np.asarray(tf, np.float32)
+
+
+def _matrix_pair(tf: Any) -> tuple[np.ndarray, np.ndarray]:
+    """(matrix at shutter begin, matrix at shutter end). AnimatedTransform
+    tuples carry the begin/end matrices directly (reference AnimatedTransform,
+    Transform.h:89-143, interpolated at ray.time over the shutter)."""
+    if isinstance(tf, tuple):
+        return np.asarray(tf[0], np.float32), np.asarray(tf[1], np.float32)
+    m = np.asarray(tf, np.float32)
+    return m, m
+
+
+def _material_emits(mat: Any) -> bool:
+    if mat is None:
+        return False
+    if getattr(mat, "emitter", None) is not None:
+        return True
+    return any(_material_emits(s) for s in getattr(mat, "sub", ()) or ())
+
+
+def _subtree_emits(node: "Node") -> bool:
+    if isinstance(node, MeshNode):
+        if any(_material_emits(g[0]) for g in node.groups):
+            return True
+    if isinstance(node, ReferenceNode):
+        return _subtree_emits(node.target)
+    return any(_subtree_emits(c) for c in node.children)
 
 
 class _Flattener:
@@ -233,6 +260,8 @@ class _Flattener:
         self._stex_cache: dict[int, int] = {}
         self._ftex_cache: dict[int, int] = {}
         self._mat_cache: dict[tuple, int] = {}
+        self._blas_cache: dict[int, int] = {}  # id(subtree) -> blas id
+        self._in_blas = False
 
     # -- textures -----------------------------------------------------------
     def stex(self, desc: Optional[STexDesc]) -> int:
@@ -404,16 +433,63 @@ class _Flattener:
                 transform=world, alpha_ftex=alpha_id, normal_ntex=ntex_id,
             )
 
-    def walk(self, node: Node, world: np.ndarray) -> None:
-        world = world @ _static_matrix(node.transform)
-        if isinstance(node, MeshNode):
-            self.mesh(node, world)
+    def walk(self, node: Node, world: np.ndarray,
+             world_end: Optional[np.ndarray] = None) -> None:
+        """Flatten the authoring graph (nodes.cpp:110-184 semantics).
+
+        `world`/`world_end` are the chain products at the shutter endpoints
+        (equal while the chain is static). Static geometry is baked; animated
+        subtrees and ReferenceNode instances become BLAS + instance rows in
+        the two-level structure — except emissive subtrees, which are baked
+        (per-instance) so the light table stays static.
+        """
+        if world_end is None:
+            world_end = world
+        t0, t1 = _matrix_pair(node.transform)
+        w0 = world @ t0
+        w1 = world_end @ t1
+        animated = not np.array_equal(w0, w1)
+
         if isinstance(node, ReferenceNode):
-            self.walk(node.target, world)
+            if self._in_blas or _subtree_emits(node.target):
+                # Emissive (or nested) instances: bake per instance, the
+                # pre-two-level behavior; animated emitters bake at begin.
+                self.walk(node.target, w0, w0)
+            else:
+                bid = self._blas_cache.get(id(node.target))
+                if bid is None:
+                    bid = self.b.begin_blas()
+                    self._in_blas = True
+                    try:
+                        self.walk(node.target, np.eye(4, dtype=np.float32))
+                    finally:
+                        self._in_blas = False
+                        self.b.end_blas()
+                    self._blas_cache[id(node.target)] = bid
+                self.b.add_instance(bid, w0, w1)
+            for c in node.children:
+                self.walk(c, w0, w1)
+            return
+
+        if animated and not self._in_blas and isinstance(node, MeshNode) \
+                and not _subtree_emits(node):
+            bid = self._blas_cache.get(id(node))
+            if bid is None:
+                bid = self.b.begin_blas()
+                self._in_blas = True
+                try:
+                    self.mesh(node, np.eye(4, dtype=np.float32))
+                finally:
+                    self._in_blas = False
+                    self.b.end_blas()
+                self._blas_cache[id(node)] = bid
+            self.b.add_instance(bid, w0, w1)
+        elif isinstance(node, MeshNode):
+            self.mesh(node, w0)
         if isinstance(node, CameraNode):
             p = node.params
             self.b.set_camera_perspective(
-                world,
+                w0,
                 aspect=p.get("aspect", 1.0),
                 fovy=p.get("fovY", 0.5235987756),
                 lens_radius=p.get("radius", 0.0),
@@ -421,7 +497,7 @@ class _Flattener:
                 obj_dist=p.get("objDist", 5.0),
             )
         for c in node.children:
-            self.walk(c, world)
+            self.walk(c, w0, w1)
 
 
 def flatten(scene: SceneDesc, spectral: bool = False, use_bvh: bool = True):

@@ -242,6 +242,50 @@ class BVH(struct.PyTreeNode):
     prim_order: Array
 
 
+class Instances(struct.PyTreeNode):
+    """Two-level acceleration for instancing and motion blur.
+
+    Replaces the reference's TransformedSurfaceObject wrappers +
+    Intersection object stack (SurfaceObject.cpp:307-336): instanced /
+    animated subtrees become shared BLASes (node arena over local-space
+    triangles) plus per-instance rows carrying the shutter-begin/end TRS
+    decomposition (AnimatedTransform, Transform.h:89-143). A TLAS over
+    per-instance *motion bounds* (motionBounds, Transform.h) culls at the
+    top level; traversal is dual-stack lock-step (accel/twolevel.py).
+
+    TLAS: binary BVH whose leaves are instance ids (tlas_prim). Interior
+    child AABBs in tlas_min/max; leaf-child AABBs come from inst_bmin/bmax.
+    BLAS arena: concatenated per-BLAS node arrays; child pointers are
+    arena-absolute; leaves encode -(slot)-1 into blas_prim (global tri ids).
+    Instanced triangles live at the TAIL of Geometry in LOCAL space; the
+    static accelerators only cover the [0, n_static) prefix.
+    """
+
+    tlas_min: Array    # (NT, 3)
+    tlas_max: Array    # (NT, 3)
+    tlas_left: Array   # (NT,)
+    tlas_right: Array  # (NT,)
+    tlas_prim: Array   # (LT,) -> instance id
+    inst_bmin: Array   # (I, 3) motion bounds
+    inst_bmax: Array   # (I, 3)
+    blas_min: Array    # (NB, 3)
+    blas_max: Array    # (NB, 3)
+    blas_left: Array   # (NB,)
+    blas_right: Array  # (NB,)
+    blas_prim: Array   # (PB,) -> global triangle id
+    blas_root: Array   # (I,) arena node id (or leaf encoding for 1-tri BLAS)
+    t0_T: Array        # (I, 3) translation at shutter begin
+    t0_R: Array        # (I, 4) rotation quat [x,y,z,w]
+    t0_S: Array        # (I, 3) scale
+    t1_T: Array        # (I, 3) ... at shutter end
+    t1_R: Array        # (I, 4)
+    t1_S: Array        # (I, 3)
+
+    @property
+    def num(self) -> int:
+        return self.blas_root.shape[0]
+
+
 class FlatScene(struct.PyTreeNode):
     """The complete device-side scene. Counterpart of SLR::Scene
     (SurfaceObject.h:239-260) after `Scene::build` flattening."""
@@ -257,6 +301,8 @@ class FlatScene(struct.PyTreeNode):
     plucker: Optional[Any] = None  # accel.plucker.PluckerTris (MXU intersector)
     pallas_tris: Optional[Any] = None  # accel.pallas_intersect.PallasTris
     ntex: Optional[NormalTextures] = None
+    instances: Optional[Instances] = None  # two-level path (motion/instancing)
+    n_static: int = struct.field(pytree_node=False, default=-1)  # static tris
     has_env: bool = struct.field(pytree_node=False, default=False)
     has_normal_map: bool = struct.field(pytree_node=False, default=False)
     has_alpha: bool = struct.field(pytree_node=False, default=False)

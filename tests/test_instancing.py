@@ -1,0 +1,158 @@
+"""Instancing + motion blur (two-level TLAS/BLAS) tests.
+
+Reference semantics: ReferenceNode builds its subtree's aggregate once and
+wraps it per instance in a TransformedSurfaceObject (nodes.cpp:174-184);
+animated transforms interpolate TRS at ray.time (Transform.h:89-143). Here
+instances are rows over shared BLASes traversed by accel/twolevel.py.
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from slr_tpu.scene.graph import (
+    MaterialDesc,
+    MeshNode,
+    ReferenceNode,
+    STexDesc,
+    SceneDesc,
+    SpectrumDesc,
+    Vertex,
+    flatten,
+)
+from slr_tpu.render.pt import scene_intersect, resolve_sp
+
+
+def quad_mesh(mat, name="quad"):
+    m = MeshNode(name)
+    vs = [(-0.5, -0.5, 0), (0.5, -0.5, 0), (0.5, 0.5, 0), (-0.5, 0.5, 0)]
+    for p in vs:
+        m.vertices.append(Vertex(
+            np.float32(p), np.float32((0, 0, 1)),
+            np.float32((1, 0, 0)), np.float32((0, 0)),
+        ))
+    m.add_group(mat, None, None, [(0, 1, 2), (0, 2, 3)])
+    return m
+
+
+def matte():
+    return MaterialDesc(kind="matte", stex=(
+        STexDesc(kind="constant",
+                 spectrum=SpectrumDesc(kind="rgb", rgb=(0.5, 0.5, 0.5))),
+    ))
+
+
+@pytest.fixture(scope="module")
+def scene():
+    sc = SceneDesc()
+    q = quad_mesh(matte())
+    r1 = ReferenceNode(q)
+    t1 = np.eye(4, dtype=np.float32)
+    t1[0, 3] = 2.0
+    r1.transform = t1
+    r2 = ReferenceNode(q)
+    t2b = np.eye(4, dtype=np.float32)
+    t2b[1, 3] = 1.0
+    r2.transform = (np.eye(4, dtype=np.float32), t2b)  # animated: y 0 -> 1
+    s = quad_mesh(matte(), "static")
+    st = np.eye(4, dtype=np.float32)
+    st[2, 3] = -3.0
+    s.transform = st
+    sc.root.children += [r1, r2, s]
+    return flatten(sc, use_bvh=True)
+
+
+def test_blas_shared_not_duplicated(scene):
+    # 2 static triangles + ONE shared 2-triangle BLAS for both instances.
+    assert scene.n_static == 2
+    assert scene.geometry.num_tris == 4
+    assert scene.instances is not None and scene.instances.num == 2
+
+
+def test_static_instance_hit(scene):
+    o = jnp.asarray(np.float32([[2, 0, 5]]))
+    d = jnp.asarray(np.float32([[0, 0, -1]]))
+    h = scene_intersect(scene, o, d, f=jnp.zeros((1,), jnp.float32))
+    assert bool(h.mask[0]) and abs(float(h.t[0]) - 5.0) < 1e-3
+    assert int(h.inst[0]) >= 0
+
+
+def test_motion_interpolation(scene):
+    # The animated quad moves y: 0 -> 1. A ray at y=0.99 only hits it near
+    # shutter end; at shutter begin it misses everything.
+    o = jnp.asarray(np.float32([[0, 0.99, 5]]))
+    d = jnp.asarray(np.float32([[0, 0, -1]]))
+    for f, should_hit in [(0.0, False), (0.5, True), (1.0, True)]:
+        h = scene_intersect(scene, o, d, f=jnp.full((1,), f, jnp.float32))
+        assert bool(h.mask[0]) == should_hit, f
+
+
+def test_static_geometry_behind_instance(scene):
+    # At f=1 the animated quad moved away; ray falls through to the baked
+    # static quad at z=-3 (t=8) with inst=-1.
+    o = jnp.asarray(np.float32([[0.2, 0.2, 5]]))
+    d = jnp.asarray(np.float32([[0, 0, -1]]))
+    h = scene_intersect(scene, o, d, f=jnp.ones((1,), jnp.float32))
+    assert bool(h.mask[0]) and abs(float(h.t[0]) - 8.0) < 1e-3
+    assert int(h.inst[0]) == -1
+
+
+def test_instance_normal_transformed():
+    # Rotate the quad 90deg about X: its +z normal becomes -y... (+z -> +y
+    # for a +90deg rotation about x: z_hat -> y_hat? Rx(90): y->z, z->-y.)
+    sc = SceneDesc()
+    q = quad_mesh(matte())
+    r = ReferenceNode(q)
+    a = np.pi / 2
+    rx = np.eye(4, dtype=np.float32)
+    rx[1, 1] = np.cos(a)
+    rx[1, 2] = -np.sin(a)
+    rx[2, 1] = np.sin(a)
+    rx[2, 2] = np.cos(a)
+    r.transform = rx
+    sc.root.children += [r]
+    flat = flatten(sc, use_bvh=True)
+    o = jnp.asarray(np.float32([[0, 5, 0]]))
+    d = jnp.asarray(np.float32([[0, -1, 0]]))
+    f = jnp.zeros((1,), jnp.float32)
+    h = scene_intersect(flat, o, d, f=f)
+    assert bool(h.mask[0])
+    sp = resolve_sp(flat, h, o, d, f=f)
+    n = np.asarray(sp.sn[0])
+    assert abs(abs(n[1]) - 1.0) < 1e-4  # normal now along +/- y
+
+
+def test_emissive_subtree_is_baked():
+    # Instanced emitters fall back to per-instance baking so the light table
+    # stays static (documented policy; matches reference importance handling).
+    from slr_tpu.scene.graph import EmitterDesc
+
+    sc = SceneDesc()
+    em = MaterialDesc(
+        kind="emitter",
+        sub=(matte(),),
+        emitter=EmitterDesc(kind="diffuse", emittance=STexDesc(
+            kind="constant",
+            spectrum=SpectrumDesc(kind="rgb", rgb=(1, 1, 1),
+                                  spectrum_type="LightSource"),
+        )),
+    )
+    q = quad_mesh(em)
+    r1 = ReferenceNode(q)
+    r2 = ReferenceNode(q)
+    t = np.eye(4, dtype=np.float32)
+    t[0, 3] = 2.0
+    r2.transform = t
+    sc.root.children += [r1, r2]
+    flat = flatten(sc, use_bvh=True)
+    assert flat.instances is None          # nothing instanced
+    assert flat.geometry.num_tris == 4     # duplicated bake
+    assert int(flat.lights.tri_idx.shape[0]) == 4
+
+
+def test_render_with_instances_finite(scene):
+    from slr_tpu.render.pt import render
+
+    img = render(scene, 24, 16, spp=2, max_depth=3)
+    a = np.asarray(img)
+    assert np.isfinite(a).all() and (a >= 0).all()
