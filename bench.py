@@ -2,10 +2,13 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Metric: rays traced per second (Mrays/s) counting closest-hit + shadow +
-env-shadow casts over all bounces, Cornell-box-spheres at 512x384. The
-reference publishes no numbers (BASELINE.md); vs_baseline is against a
-nominal 1.0 Mrays/s CPU-class figure until a reference build exists.
+Metric: pixel samples per second (kilo-samples/s) at 512x384, depth 8 —
+the estimator-independent throughput measure (per-sample variance is fixed
+by the estimator, so samples/s tracks time-to-quality; Mrays/s would reward
+casting MORE rays per sample). History in BASELINE.md records both. The
+reference publishes no numbers; vs_baseline is against a nominal CPU-class
+figure (1.0 Mrays/s at the original 25 casts/sample = 40k samples/s) until
+a reference build exists.
 
 Uses the per-pass jitted `render` (the axon remote compiler takes minutes on
 the fully fused program) and a persistent compilation cache so repeated
@@ -40,19 +43,20 @@ def main() -> None:
     dt = time.perf_counter() - t0
 
     n_pix = width * height
-    # per bounce: closest-hit + area-light shadow + env shadow = 3 casts,
-    # plus the camera ray's initial cast.
-    rays = n_pix * spp * (1 + 3 * max_depth)
-    mrays = rays / dt / 1e6
+    ksamples = n_pix * spp / dt / 1e3
+    # Secondary figure for the log: actual ray casts (camera + per bounce:
+    # closest-hit + one shared NEE shadow cast).
+    mrays = n_pix * spp * (1 + 2 * max_depth) / dt / 1e6
 
-    baseline_mrays = 1.0  # nominal CPU-reference figure; see BASELINE.md
+    baseline_ksamples = 40.0  # nominal CPU-reference figure; see BASELINE.md
     print(
         json.dumps(
             {
-                "metric": "cornell_pt_throughput",
-                "value": round(mrays, 3),
-                "unit": "Mrays/s",
-                "vs_baseline": round(mrays / baseline_mrays, 3),
+                "metric": "cornell_pt_samples_per_s",
+                "value": round(ksamples, 3),
+                "unit": "ksamples/s",
+                "vs_baseline": round(ksamples / baseline_ksamples, 3),
+                "mrays_per_s": round(mrays, 3),
             }
         )
     )

@@ -29,14 +29,23 @@ def main() -> None:
                     help="override the scene's renderer")
     ap.add_argument("--max-depth", type=int, default=16)
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="write a jax.profiler trace of the first pass to DIR")
+    ap.add_argument("-v", "--verbose", action="store_true",
+                    help="log build/render stats (BVH SAH cost, rays/s, ...)")
     ap.add_argument("--resume", action="store_true",
                     help="resume from the checkpoint in --out (film + sample "
                     "counter; continuation is bitwise-identical to an "
                     "uninterrupted run thanks to the counter-based RNG)")
     args = ap.parse_args()
 
+    import logging
+
     import jax
 
+    if args.verbose:
+        logging.basicConfig(level=logging.INFO, format="%(message)s")
+        logging.getLogger("slr_tpu").setLevel(logging.INFO)
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir",
@@ -70,6 +79,8 @@ def main() -> None:
                  np.asarray(aov.g_normal) * 0.5 + 0.5)
         save_png(os.path.join(args.out, "snormal.png"),
                  np.asarray(aov.s_normal) * 0.5 + 0.5)
+        save_png(os.path.join(args.out, "stangent.png"),
+                 np.asarray(aov.s_tangent) * 0.5 + 0.5)
         dist = np.asarray(aov.distance)
         dmax = dist.max() or 1.0
         save_png(os.path.join(args.out, "distance.png"),
@@ -113,17 +124,27 @@ def main() -> None:
     while next_export <= done:
         img_idx += 1
         next_export *= 2
+    from .utils.metrics import RenderMeter, profile_trace
+
+    meter = RenderMeter(width, height, args.max_depth, has_env=scene.has_env)
+    first_pass = True
     while done < spp:
         step = min(next_export, spp) - done
-        img = render_pass(step, offset=done)
+        meter.start()
+        with profile_trace(args.profile if first_pass else None):
+            img = render_pass(step, offset=done)
+        meter.stop(step)
+        first_pass = False
         accum = img * step if accum is None else accum + img * step
         done += step
         out = os.path.join(args.out, f"{img_idx:03d}.png")
         save_png(out, develop(accum / done, brightness))
         save_checkpoint(ckpt_path, {"accum": accum, "done": done})
-        print(f"{done} samples: {out}, {time.time() - t0:.1f}s")
+        print(f"{done} samples: {out}, {time.time() - t0:.1f}s "
+              f"[{meter.mrays_per_s:.2f} Mrays/s]")
         img_idx += 1
         next_export *= 2
+    print(meter.report())
 
 
 if __name__ == "__main__":

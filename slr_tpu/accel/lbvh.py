@@ -51,6 +51,13 @@ def build_bvh(positions: np.ndarray, tri_vidx: np.ndarray,
         # The lock-step traversal has a fixed MAX_STACK; an overly deep tree
         # falls back to the (balanced) median-split builder.
         if res is not None and res.depth + 2 < MAX_STACK:
+            from ..utils.metrics import log_build_stats
+
+            log_build_stats(
+                "sbvh", tris=len(tri_vidx), nodes=res.n_nodes,
+                refs=res.n_refs, depth=res.depth,
+                sah_cost=round(res.sah_cost, 2), budget_hit=res.budget_hit,
+            )
             return BVH(
                 node_min=jnp.asarray(res.node_min),
                 node_max=jnp.asarray(res.node_max),

@@ -1,93 +1,89 @@
-"""Pallas TPU closest-hit kernel: fused Plücker intersection.
+"""Pallas TPU closest-hit / any-hit kernels: fused Plücker intersection.
 
 The XLA version (accel/plucker.py) materializes (R, chunk) intermediates in
-HBM between the MXU products and the min-reduction — bandwidth-bound. This
-kernel fuses the whole per-chunk pipeline in VMEM: the grid is
+HBM between the MXU products and the min-reduction — bandwidth-bound. These
+kernels fuse the whole per-chunk pipeline in VMEM: the grid is
 (ray_blocks, tri_chunks); triangle chunks stream through VMEM with automatic
-double buffering; each program does the side-test contraction on the MXU,
-the plane-distance math on the VPU, and folds the argmin into per-ray-block
-accumulators that only touch HBM once.
+double buffering; each program does ONE MXU contraction that yields the three
+edge side-terms, n·d, and (d0 - n·o) together, then folds hit selection into
+per-ray-block accumulators that only touch HBM once.
 
-Data layout (built once at scene build):
-  rays:    (NB, 8, RB)  rows = [ox oy oz dx dy dz tmin tmax], rays on lanes
-  edges:   (NC, 6, 3C)  edge Plücker 6-vectors, column = edge*C + tri
-  normals: (NC, 3, C)
-  d0:      (NC, 1, C)
-  valid:   (NC, 1, C)   1.0 / 0.0
-  outputs: best_t (NB, RB) f32, best_idx (NB, RB) i32
+Data layout (rays packed per call; triangles once at scene build):
+  rays: (NB, 16, RB)  rows = [dx dy dz mx my mz ox oy oz 1 tmin tmax 0*4],
+                      m = o x d (ray Plücker moment, computed OUTSIDE the
+                      kernel so it isn't redone per triangle chunk)
+  tris: (NC, 16, 5C)  columns: [edge0 | edge1 | edge2 | n·d | d0 - n·o]
+                      edge cols carry the edge Plücker 6-vector in rows 0-5;
+                      the n·d col carries n in rows 0-2; the num col carries
+                      -n in rows 6-8 and d0 in row 9.
+  valid: (NC, 1, C)   1.0 / 0.0
+  outputs: best_t (NB, RB) f32, best_idx (NB, RB) i32 — or occluded i32.
+
+Reference for the intersection predicate: Triangle::intersect
+(Möller-Trumbore, TriangleMesh.cpp:131-178) — reformulated as Plücker side
+tests so the inner loop is a matrix product on the 128x128 systolic array.
+Barycentrics for the winning triangle are recovered afterwards with one
+Möller-Trumbore evaluation per ray (exact, outside the kernel).
 """
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 from ..core.math3d import Array
 from ..scene.types import Geometry
 from .intersect import Hit, RAY_EPSILON, moller_trumbore
 
-RB = 128          # rays per program instance
+RB = 256          # default rays per program instance (tunable per call)
 DEFAULT_CHUNK = 512
+ROWS = 16         # packed ray rows (sublane-aligned)
 
 
-def _kernel(rays_ref, edges_ref, normals_ref, d0_ref, valid_ref,
-            t_ref, idx_ref, *, chunk: int):
+def _contract(rays16, tris_ref, chunk: int):
+    """(RB, 5C) = rays16^T @ tris — side terms, n·d, and num in one MXU op."""
+    acc = jax.lax.dot_general(
+        rays16, tris_ref[0], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    s0 = acc[:, 0:chunk]
+    s1 = acc[:, chunk:2 * chunk]
+    s2 = acc[:, 2 * chunk:3 * chunk]
+    den = acc[:, 3 * chunk:4 * chunk]    # n·d
+    num = acc[:, 4 * chunk:5 * chunk]    # d0 - n·o  (= t * den)
+    through = ((s0 >= 0) & (s1 >= 0) & (s2 >= 0)) | (
+        (s0 <= 0) & (s1 <= 0) & (s2 <= 0)
+    )
+    return through, den, num
+
+
+def _kernel(rays_ref, tris_ref, valid_ref, t_ref, idx_ref,
+            *, chunk: int, rb: int):
     j = pl.program_id(1)
-
-    rays = rays_ref[0]          # (8, RB)
-    o = rays[0:3, :]            # (3, RB)
-    d = rays[3:6, :]
-    tmin = rays[6, :]           # (RB,)
-    tmax = rays[7, :]
+    rays16 = rays_ref[0]          # (16, RB)
+    tmin = rays16[10, :]
+    tmax = rays16[11, :]
 
     @pl.when(j == 0)
     def _init():
         t_ref[0, 0, :] = tmax
-        idx_ref[0, 0, :] = jnp.full((RB,), -1, jnp.int32)
+        idx_ref[0, 0, :] = jnp.full((rb,), -1, jnp.int32)
 
-    # Ray Plücker 6-vector r6 = [d, o x d], rays on lanes: (6, RB).
-    m0 = o[1] * d[2] - o[2] * d[1]
-    m1 = o[2] * d[0] - o[0] * d[2]
-    m2 = o[0] * d[1] - o[1] * d[0]
-    r6 = jnp.stack([d[0], d[1], d[2], m0, m1, m2], axis=0)
+    through, den, num = _contract(rays16, tris_ref, chunk)
+    denom_ok = jnp.abs(den) > 1e-12
+    t = num / jnp.where(denom_ok, den, 1.0)
 
-    # MXU: (RB, 3C) = r6^T @ edges, then (RB, C) plane terms.
-    sides = jax.lax.dot_general(
-        r6, edges_ref[0], (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # (RB, 3C)
-    s0 = sides[:, 0:chunk]
-    s1 = sides[:, chunk:2 * chunk]
-    s2 = sides[:, 2 * chunk:3 * chunk]
-    through = ((s0 >= 0) & (s1 >= 0) & (s2 >= 0)) | (
-        (s0 <= 0) & (s1 <= 0) & (s2 <= 0)
-    )
-
-    n_dot_o = jax.lax.dot_general(
-        o, normals_ref[0], (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # (RB, C)
-    n_dot_d = jax.lax.dot_general(
-        d, normals_ref[0], (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    denom_ok = jnp.abs(n_dot_d) > 1e-12
-    t = (d0_ref[0][0:1, :] - n_dot_o) / jnp.where(denom_ok, n_dot_d, 1.0)
-
-    tmin_col = tmin[:, None]
     best_col = t_ref[0, 0, :][:, None]
     hit = (
         through
         & denom_ok
         & (valid_ref[0][0:1, :] > 0.5)
-        & (t >= tmin_col)
+        & (t >= tmin[:, None])
         & (t < best_col)
     )
     t_hit = jnp.where(hit, t, jnp.inf)
@@ -100,87 +96,172 @@ def _kernel(rays_ref, edges_ref, normals_ref, d0_ref, valid_ref,
     )
 
 
-from typing import NamedTuple
+def _kernel_any(rays_ref, tris_ref, valid_ref, hit_ref, *, chunk: int, rb: int):
+    """Any-hit (shadow) variant: no argmin, no division. A triangle occludes
+    iff t = num/den lies in [tmin, tmax], tested as sign conditions on
+    (num - tmin*den)·(num - tmax*den) — fmas instead of a divide."""
+    j = pl.program_id(1)
+    rays16 = rays_ref[0]
+    tmin = rays16[10, :]
+    tmax = rays16[11, :]
+
+    @pl.when(j == 0)
+    def _init():
+        hit_ref[0, 0, :] = jnp.zeros((rb,), jnp.int32)
+
+    through, den, num = _contract(rays16, tris_ref, chunk)
+    lo = num - tmin[:, None] * den       # den * (t - tmin)
+    hi = num - tmax[:, None] * den
+    in_range = (lo * hi <= 0) & (jnp.abs(den) > 1e-12)
+    occluded = through & in_range & (valid_ref[0][0:1, :] > 0.5)
+    any_hit = jnp.any(occluded, axis=1).astype(jnp.int32)
+    hit_ref[0, 0, :] = hit_ref[0, 0, :] | any_hit
 
 
 class PallasTris(NamedTuple):
     """Triangle tables in kernel layout (pytree; host-built, device-resident).
     chunk / n_chunks are derived statically from shapes."""
 
-    edges: Array    # (NC, 6, 3C)
-    normals: Array  # (NC, 3, C)
-    d0: Array       # (NC, 1, C)
+    tris: Array     # (NC, 16, 5C)
     valid: Array    # (NC, 1, C)
 
     @property
     def chunk(self) -> int:
-        return self.normals.shape[-1]
+        return self.valid.shape[-1]
 
     @property
     def n_chunks(self) -> int:
-        return self.edges.shape[0]
+        return self.tris.shape[0]
 
 
 def build_pallas_tris(geom: Geometry, chunk: int = DEFAULT_CHUNK) -> PallasTris:
-    if True:
-        pos = np.asarray(geom.positions)
-        tri = np.asarray(geom.tri_vidx)
-        p0, p1, p2 = pos[tri[:, 0]], pos[tri[:, 1]], pos[tri[:, 2]]
-        t = len(tri)
-        nc = -(-t // chunk)
-        pad = nc * chunk - t
+    pos = np.asarray(geom.positions)
+    tri = np.asarray(geom.tri_vidx)
+    p0, p1, p2 = pos[tri[:, 0]], pos[tri[:, 1]], pos[tri[:, 2]]
+    t = len(tri)
+    nc = max(-(-t // chunk), 1)
+    pad = nc * chunk - t
 
-        def edge6(a, b):
-            return np.concatenate([np.cross(a, b), b - a], axis=-1)
+    def edge6(a, b):
+        return np.concatenate([np.cross(a, b), b - a], axis=-1)
 
-        e = np.stack([edge6(p0, p1), edge6(p1, p2), edge6(p2, p0)], axis=1)
-        n = np.cross(p1 - p0, p2 - p0)
-        d0 = np.einsum("ij,ij->i", n, p0)
-        valid = np.ones((t,), np.float32)
-        if pad:
-            e = np.concatenate([e, np.zeros((pad, 3, 6), e.dtype)])
-            n = np.concatenate([n, np.zeros((pad, 3), n.dtype)])
-            d0 = np.concatenate([d0, np.zeros((pad,), d0.dtype)])
-            valid = np.concatenate([valid, np.zeros((pad,), np.float32)])
-        e = e.reshape(nc, chunk, 3, 6).transpose(0, 3, 2, 1).reshape(
-            nc, 6, 3 * chunk
-        )
-        return PallasTris(
-            edges=jnp.asarray(e.astype(np.float32)),
-            normals=jnp.asarray(
-                n.reshape(nc, chunk, 3).transpose(0, 2, 1).astype(np.float32)
-            ),
-            d0=jnp.asarray(d0.reshape(nc, 1, chunk).astype(np.float32)),
-            valid=jnp.asarray(valid.reshape(nc, 1, chunk)),
-        )
+    e = np.stack([edge6(p0, p1), edge6(p1, p2), edge6(p2, p0)], axis=1)
+    n = np.cross(p1 - p0, p2 - p0)
+    d0 = np.einsum("ij,ij->i", n, p0)
+    valid = np.ones((t,), np.float32)
+    if pad:
+        e = np.concatenate([e, np.zeros((pad, 3, 6), e.dtype)])
+        n = np.concatenate([n, np.zeros((pad, 3), n.dtype)])
+        d0 = np.concatenate([d0, np.zeros((pad,), d0.dtype)])
+        valid = np.concatenate([valid, np.zeros((pad,), np.float32)])
+    tt = nc * chunk
+    tris = np.zeros((tt, ROWS, 5), np.float32)
+    tris[:, 0:6, 0] = e[:, 0]       # edge0 Plücker
+    tris[:, 0:6, 1] = e[:, 1]
+    tris[:, 0:6, 2] = e[:, 2]
+    tris[:, 0:3, 3] = n             # n·d column
+    tris[:, 6:9, 4] = -n            # num column: -n·o ...
+    tris[:, 9, 4] = d0              # ... + d0 * 1
+    # (tt, 16, 5) -> (nc, 16, 5C) with column = col*C + tri
+    tris = tris.reshape(nc, chunk, ROWS, 5).transpose(0, 2, 3, 1).reshape(
+        nc, ROWS, 5 * chunk
+    )
+    return PallasTris(
+        tris=jnp.asarray(tris),
+        valid=jnp.asarray(valid.reshape(nc, 1, chunk)),
+    )
 
 
-@functools.partial(jax.jit, static_argnames=("chunk", "n_chunks", "interpret"))
-def _run_kernel(rays, edges, normals, d0, valid, chunk, n_chunks,
-                interpret=False):
+@functools.partial(jax.jit,
+                   static_argnames=("chunk", "n_chunks", "rb", "interpret"))
+def _run_kernel(rays, tris, valid, chunk, n_chunks, rb=RB, interpret=False):
     nb = rays.shape[0]
     grid = (nb, n_chunks)
-    kernel = functools.partial(_kernel, chunk=chunk)
+    kernel = functools.partial(_kernel, chunk=chunk, rb=rb)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 8, RB), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, 6, 3 * chunk), lambda i, j: (j, 0, 0)),
-            pl.BlockSpec((1, 3, chunk), lambda i, j: (j, 0, 0)),
-            pl.BlockSpec((1, 1, chunk), lambda i, j: (j, 0, 0)),
+            pl.BlockSpec((1, ROWS, rb), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, ROWS, 5 * chunk), lambda i, j: (j, 0, 0)),
             pl.BlockSpec((1, 1, chunk), lambda i, j: (j, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, RB), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, 1, RB), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, 1, rb), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, 1, rb), lambda i, j: (i, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((nb, 1, RB), jnp.float32),
-            jax.ShapeDtypeStruct((nb, 1, RB), jnp.int32),
+            jax.ShapeDtypeStruct((nb, 1, rb), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 1, rb), jnp.int32),
         ],
         interpret=interpret,
-    )(rays, edges, normals, d0, valid)
+    )(rays, tris, valid)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("chunk", "n_chunks", "rb", "interpret"))
+def _run_kernel_any(rays, tris, valid, chunk, n_chunks, rb=RB,
+                    interpret=False):
+    nb = rays.shape[0]
+    grid = (nb, n_chunks)
+    kernel = functools.partial(_kernel_any, chunk=chunk, rb=rb)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, ROWS, rb), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, ROWS, 5 * chunk), lambda i, j: (j, 0, 0)),
+            pl.BlockSpec((1, 1, chunk), lambda i, j: (j, 0, 0)),
+        ],
+        out_specs=[pl.BlockSpec((1, 1, rb), lambda i, j: (i, 0, 0))],
+        out_shape=[jax.ShapeDtypeStruct((nb, 1, rb), jnp.int32)],
+        interpret=interpret,
+    )(rays, tris, valid)
+
+
+def _pack_rays(o, d, tmin_a, tmax_a, rb=RB):
+    """(R, 3)x2 + (R,)x2 -> (NB, 16, rb) with the Plücker moment m = o x d
+    precomputed once per ray (XLA fuses this into the surrounding graph)."""
+    r = o.shape[0]
+    nb = -(-r // rb)
+    pad = nb * rb - r
+    m = jnp.cross(o, d)
+    ones = jnp.ones((r, 1), jnp.float32)
+    zeros = jnp.zeros((r, ROWS - 12), jnp.float32)
+    rays = jnp.concatenate(
+        [d, m, o, ones, tmin_a[:, None], tmax_a[:, None], zeros], axis=1
+    )  # (R, 16)
+    if pad:
+        filler = jnp.zeros((pad, ROWS), jnp.float32).at[:, 2].set(1.0)
+        rays = jnp.concatenate([rays, filler], axis=0)
+    return rays.reshape(nb, rb, ROWS).transpose(0, 2, 1), nb
+
+
+def anyhit_pallas(
+    geom: Geometry,
+    pt: PallasTris,
+    o: Array,
+    d: Array,
+    tmin: Array | float = RAY_EPSILON,
+    tmax: Array | float = jnp.inf,
+    interpret: bool = False,
+    rb: int = RB,
+) -> Array:
+    """Occlusion query (bool per ray): True if anything lies in [tmin, tmax].
+    The shadow-ray path of Scene::testVisibility — cheaper than closest-hit
+    (no per-triangle divide, no argmin)."""
+    r = o.shape[0]
+    tmin_a = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (r,))
+    tmax_a = jnp.broadcast_to(
+        jnp.where(jnp.isinf(jnp.asarray(tmax, jnp.float32)), 3e38,
+                  jnp.asarray(tmax, jnp.float32)), (r,)
+    )
+    rays, _ = _pack_rays(o, d, tmin_a, tmax_a, rb)
+    (hit,) = _run_kernel_any(
+        rays, pt.tris, pt.valid, pt.chunk, pt.n_chunks, rb=rb,
+        interpret=interpret,
+    )
+    return hit.reshape(-1)[:r] > 0
 
 
 def intersect_pallas(
@@ -191,27 +272,20 @@ def intersect_pallas(
     tmin: Array | float = RAY_EPSILON,
     tmax: Array | float = jnp.inf,
     interpret: bool = False,
+    rb: int = RB,
 ) -> Hit:
     """Closest hit via the fused kernel. o/d: (R, 3)."""
     r = o.shape[0]
-    nb = -(-r // RB)
-    pad = nb * RB - r
     tmin_a = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (r,))
     tmax_a = jnp.broadcast_to(
         jnp.where(jnp.isinf(jnp.asarray(tmax, jnp.float32)), 3e38,
                   jnp.asarray(tmax, jnp.float32)), (r,)
     )
-    rays = jnp.concatenate(
-        [o, d, tmin_a[:, None], tmax_a[:, None]], axis=1
-    )  # (R, 8)
-    if pad:
-        filler = jnp.zeros((pad, 8), jnp.float32).at[:, 5].set(1.0)
-        rays = jnp.concatenate([rays, filler], axis=0)
-    rays = rays.reshape(nb, RB, 8).transpose(0, 2, 1)  # (NB, 8, RB)
+    rays, _ = _pack_rays(o, d, tmin_a, tmax_a, rb)
 
     best_t, best_idx = _run_kernel(
-        rays, pt.edges, pt.normals, pt.d0, pt.valid, pt.chunk, pt.n_chunks,
-        interpret,
+        rays, pt.tris, pt.valid, pt.chunk, pt.n_chunks, rb=rb,
+        interpret=interpret,
     )
     best_t = best_t.reshape(-1)[:r]
     tri = best_idx.reshape(-1)[:r]

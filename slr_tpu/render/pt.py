@@ -196,6 +196,32 @@ def resolve_sp(scene: FlatScene, hit: Hit, o: Array, d: Array,
     return sp
 
 
+def scene_occluded(scene: FlatScene, o: Array, d: Array, tmin, tmax,
+                   f: Array | None = None) -> Array:
+    """Occlusion-only query (bool per ray). Uses the cheap any-hit Pallas
+    kernel when applicable; alpha-cutout scenes need the closest-hit + recast
+    path so a fully cut-out surface doesn't cast a shadow."""
+    if scene.has_alpha:
+        return scene_intersect_alpha(scene, o, d, tmin, tmax, f=f).mask
+    occ = None
+    if scene.pallas_tris is not None and jax.default_backend() not in (
+        "cpu", "gpu"
+    ):
+        from ..accel.pallas_intersect import anyhit_pallas
+
+        occ = anyhit_pallas(scene.geometry, scene.pallas_tris, o, d, tmin, tmax)
+    if occ is None:
+        return scene_intersect(scene, o, d, tmin, tmax, f).mask
+    if scene.instances is not None:
+        from ..accel.twolevel import intersect_instances
+
+        f_ = jnp.zeros(o.shape[:1], jnp.float32) if f is None else f
+        occ = occ | intersect_instances(
+            scene.geometry, scene.instances, o, d, f_, tmin, tmax
+        ).mask
+    return occ
+
+
 def test_visibility(scene: FlatScene, p_from: Array, p_to: Array,
                     f: Array | None = None) -> Array:
     """Shadow test (Scene::testVisibility, SurfaceObject.cpp:417-429).
@@ -203,10 +229,10 @@ def test_visibility(scene: FlatScene, p_from: Array, p_to: Array,
     delta = p_to - p_from
     dist = jnp.linalg.norm(delta, axis=-1)
     d = delta / jnp.maximum(dist, 1e-20)[..., None]
-    hit = scene_intersect_alpha(
+    occ = scene_occluded(
         scene, p_from, d, tmin=RAY_EPSILON, tmax=dist * (1.0 - 1e-3), f=f
     )
-    return jnp.logical_not(hit.mask)
+    return jnp.logical_not(occ)
 
 
 def _env_direction(phi: Array, theta: Array) -> Array:
@@ -387,25 +413,47 @@ def _trace_core(
         light_tri, light_prob, is_env = _select_light(scene, u_sel)
         lp = sample_triangle_point(scene.geometry, light_tri, lu0, lu1)
 
-        vis = test_visibility(scene, sp.p, lp.p, f=f_time)
+        # ONE shadow ray per bounce (like the reference, which samples one
+        # light and casts one visibility ray, PathTracingRenderer.cpp:
+        # 169-204): env lanes aim at the sampled env direction with an open
+        # tmax, area lanes at the sampled light point. BSDF eval/pdf are also
+        # shared between the two branches.
         delta_p = lp.p - sp.p
         dist2 = jnp.maximum(jnp.sum(delta_p * delta_p, axis=-1), 1e-12)
-        shadow_dir = delta_p / jnp.sqrt(dist2)[..., None]
+        dist = jnp.sqrt(dist2)
+        area_dir = delta_p / dist[..., None]
 
-        # EDF at the light point toward the shading point.
-        cos_light_s = dot(-shadow_dir, lp.sn)
-        m_emit = emitted_radiance(scene, lp.mat_id, lp.uv, cos_light_s, lambdas)
-        le_nee = m_emit  # includes 1/pi and upper-side test
+        if scene.has_env:
+            ex, ey, uvpdf = sample_continuous_2d(scene.env.dist, lu0, lu1)
+            e_theta = ey * jnp.pi
+            e_dir = _env_direction(ex * 2 * jnp.pi, e_theta)
+            env_area_pdf = uvpdf / jnp.maximum(
+                2.0 * jnp.pi**2 * jnp.sin(e_theta), 1e-8
+            )
+            shadow_dir = jnp.where(is_env[..., None], e_dir, area_dir)
+            # Env rays only need to clear the world bounding sphere; a huge
+            # tmax would overflow the any-hit kernel's multiply-form range
+            # test (tmax * n·d with unnormalized n).
+            env_tmax = 4.0 * scene.world_radius
+            shadow_tmax = jnp.where(is_env, env_tmax, dist * (1.0 - 1e-3))
+        else:
+            shadow_dir = area_dir
+            shadow_tmax = dist * (1.0 - 1e-3)
 
+        vis = jnp.logical_not(scene_occluded(
+            scene, sp.p, shadow_dir, RAY_EPSILON, shadow_tmax, f=f_time
+        ))
         shadow_dir_sn = frame_to_local(fx, fy, fz, shadow_dir)
         fs_nee = bsdf_evaluate(lobes, wo, shadow_dir_sn, gn_sn, state.hero)
+        pdf_bsdf_w = bsdf_pdf(lobes, wo, shadow_dir_sn, gn_sn, state.hero)
+
+        # EDF at the light point toward the shading point (area lanes).
+        cos_light_s = dot(-shadow_dir, lp.sn)
+        le_nee = emitted_radiance(scene, lp.mat_id, lp.uv, cos_light_s,
+                                  lambdas)  # includes 1/pi and side test
         light_pdf = light_prob * lp.area_pdf
         cos_light = jnp.abs(dot(-shadow_dir, lp.gn))
-        bsdf_pdf_sa = (
-            bsdf_pdf(lobes, wo, shadow_dir_sn, gn_sn, state.hero)
-            * cos_light
-            / dist2
-        )
+        bsdf_pdf_sa = pdf_bsdf_w * cos_light / dist2
         mis_w = power_heuristic(light_pdf, bsdf_pdf_sa)
         g = jnp.abs(dot(shadow_dir_sn, gn_sn)) * cos_light / dist2
         contrib_nee = (
@@ -425,21 +473,12 @@ def _trace_core(
         # dist2 = 1 and unit cosine at the infinite light. Compiled only for
         # scenes that have an environment (static flag).
         if scene.has_env:
-            ex, ey, uvpdf = sample_continuous_2d(scene.env.dist, lu0, lu1)
-            e_theta = ey * jnp.pi
-            e_dir = _env_direction(ex * 2 * jnp.pi, e_theta)
-            env_area_pdf = uvpdf / jnp.maximum(
-                2.0 * jnp.pi**2 * jnp.sin(e_theta), 1e-8
-            )
-            env_hit = scene_intersect_alpha(scene, sp.p, e_dir, f=f_time)
-            env_vis = jnp.logical_not(env_hit.mask)
+            env_vis = vis
             le_env = _env_radiance(scene, ex, ey, lambdas)
-            e_dir_sn = frame_to_local(fx, fy, fz, e_dir)
-            fs_env = bsdf_evaluate(lobes, wo, e_dir_sn, gn_sn, state.hero)
+            fs_env = fs_nee
             env_light_pdf = light_prob * env_area_pdf
-            bsdf_pdf_env = bsdf_pdf(lobes, wo, e_dir_sn, gn_sn, state.hero)
-            mis_env = power_heuristic(env_light_pdf, bsdf_pdf_env)
-            g_env = jnp.abs(dot(e_dir_sn, gn_sn))
+            mis_env = power_heuristic(env_light_pdf, pdf_bsdf_w)
+            g_env = jnp.abs(dot(shadow_dir_sn, gn_sn))
             contrib_env = (
                 state.alpha * le_env * fs_env
                 * (g_env * mis_env / jnp.maximum(env_light_pdf, 1e-30))[..., None]

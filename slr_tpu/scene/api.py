@@ -284,9 +284,13 @@ def make_global_env(ctx: ApiContext) -> Env:
         return SpectrumDesc(kind="library", library_id=ID, library_comp=int(idx))
 
     env.define("Spectrum", builtin(
-        _sig([("ID", str), ("idx", int, 0)], _spectrum_library),
+        # (type, value) must be tried before the library overload so
+        # Spectrum("Illuminant", 500) binds as a mono spectrum; the library
+        # form is reached by its named argument, Spectrum("ID": ..., idx)
+        # (reference overload table, API.cpp:286-441).
         _sig([("type", str), ("value", float)],
              lambda type, value, ctx: SpectrumDesc(kind="mono", spectrum_type=type, value=value)),
+        _sig([("ID", str), ("idx", int, 0)], _spectrum_library),
         _sig([("value", float)],
              lambda value, ctx: SpectrumDesc(kind="mono", value=value)),
         _sig([("type", str, "Reflectance"), ("space", str, "sRGB"),
@@ -416,14 +420,28 @@ def make_global_env(ctx: ApiContext) -> Env:
             if isinstance(item, Vertex):
                 node.vertices.append(item)
             else:
-                vals = item.positional()
+                # Vertex tuples bind like createVertex's signature: named
+                # entries ("position": ...) may interleave with positionals
+                # (SceneParser.hpp:220-273 matching, e.g.
+                # Cornell_Box_Boxes.txt:19).
+                named = dict(item.named())
+                pos = list(item.positional())
+                vals = {}
+                for pname in ("position", "normal", "tangent", "texCoord"):
+                    if pname in named:
+                        vals[pname] = named[pname]
+                    elif pos:
+                        vals[pname] = pos.pop(0)
+                    else:
+                        raise DSLError(f"vertex tuple missing {pname}")
                 node.vertices.append(
                     Vertex(
-                        position=_tuple_to_vec(vals[0]),
-                        normal=_tuple_to_vec(vals[1]),
-                        tangent=_tuple_to_vec(vals[2]),
-                        uv=np.asarray([float(x) for x in vals[3].positional()],
-                                      np.float32),
+                        position=_tuple_to_vec(vals["position"]),
+                        normal=_tuple_to_vec(vals["normal"]),
+                        tangent=_tuple_to_vec(vals["tangent"]),
+                        uv=np.asarray(
+                            [float(x) for x in vals["texCoord"].positional()],
+                            np.float32),
                     )
                 )
         for group in matGroups.positional():
@@ -499,30 +517,40 @@ def make_global_env(ctx: ApiContext) -> Env:
         b_scene = _flat(tmp, spectral=False, use_bvh=False)
         pos = np.asarray(b_scene.geometry.positions)
         tri = np.asarray(b_scene.geometry.tri_vidx)
+        nrm = np.asarray(b_scene.geometry.normals)
+        tan = np.asarray(b_scene.geometry.tangents)
         p0, p1, p2 = pos[tri[:, 0]], pos[tri[:, 1]], pos[tri[:, 2]]
         lo = pos.min(axis=0)
         hi = pos.max(axis=0)
-        idx = 0
         for iz in range(numZ):
             for ix in range(numX):
-                fx = (ix + 0.5) / numX + (ctx.rng.rand() - 0.5) * randomness / numX
-                fz = (iz + 0.5) / numZ + (ctx.rng.rand() - 0.5) * randomness / numZ
+                fx = (ix + 0.5 + (ctx.rng.rand() - 0.5) * randomness) / numX
+                fz = (iz + 0.5 + (ctx.rng.rand() - 0.5) * randomness) / numZ
                 ox = lo[0] + (hi[0] - lo[0]) * fx
                 oz = lo[2] + (hi[2] - lo[2]) * fz
                 o = np.array([ox, hi[1] + 1.0, oz], np.float32)
                 d = np.array([0.0, -1.0, 0.0], np.float32)
-                t = _raycast_down(o, d, p0, p1, p2)
-                if t is None:
+                res = _raycast_down(o, d, p0, p1, p2)
+                if res is None:
                     continue
+                t, ti, b1, b2 = res
                 p = o + t * d
+                b0 = 1.0 - b1 - b2
+                vi = tri[ti]
+                # Shading frame at the hit (callback(p, tangent, bitangent,
+                # normal) — reference API.cpp:968-975).
+                n = b0 * nrm[vi[0]] + b1 * nrm[vi[1]] + b2 * nrm[vi[2]]
+                n = n / max(float(np.linalg.norm(n)), 1e-20)
+                tg = b0 * tan[vi[0]] + b1 * tan[vi[1]] + b2 * tan[vi[2]]
+                tg = tg - np.dot(tg, n) * n
+                tg = tg / max(float(np.linalg.norm(tg)), 1e-20)
+                bt = np.cross(n, tg)
                 args = TupleVal()
-                args.add(None, idx)
-                args.add(None, p)
-                if isinstance(callback, UserFunction):
-                    callback(args, ctx)
-                else:
-                    callback(args, ctx)
-                idx += 1
+                args.add(None, p.astype(np.float32))
+                args.add(None, tg.astype(np.float32))
+                args.add(None, bt.astype(np.float32))
+                args.add(None, n.astype(np.float32))
+                callback(args, ctx)
         return None
 
     env.define("scanXZFromYPlus", builtin(
@@ -599,22 +627,54 @@ def _raycast_down(o, d, p0, p1, p2):
     hit = ok & (b1 >= 0) & (b1 <= 1) & (b2 >= 0) & (b1 + b2 <= 1) & (t > 1e-4)
     if not hit.any():
         return None
-    return float(t[hit].min())
+    t_masked = np.where(hit, t, np.inf)
+    i = int(np.argmin(t_masked))
+    return float(t[i]), i, float(b1[i]), float(b2[i])
 
 
 def _load_image(ctx: ApiContext, path: str) -> np.ndarray:
     """Image loading via PIL (reference uses libpng/OpenEXR,
-    Helper/image_loader.cpp). Returns float32 linear RGBA."""
+    Helper/image_loader.cpp). Returns float32 linear RGBA. Missing or
+    undecodable assets (the reference repo bundles neither its EXR
+    environments nor its models) get a procedural sky placeholder so scenes
+    still load and render structurally."""
     full = path if os.path.isabs(path) else os.path.join(ctx.base_dir, path)
-    if not os.path.exists(full):
-        raise DSLError(f"image not found: {full}")
-    from PIL import Image
+    if os.path.exists(full) and not full.lower().endswith(".exr"):
+        from PIL import Image
 
-    from ..spectrum.rgb import srgb_degamma
+        from ..spectrum.rgb import srgb_degamma
 
-    im = np.asarray(Image.open(full).convert("RGBA"), np.float32) / 255.0
-    rgb = np.asarray(srgb_degamma(im[..., :3]))
-    return np.concatenate([rgb, im[..., 3:]], axis=-1)
+        im = np.asarray(Image.open(full).convert("RGBA"), np.float32) / 255.0
+        rgb = np.asarray(srgb_degamma(im[..., :3]))
+        return np.concatenate([rgb, im[..., 3:]], axis=-1)
+    import logging
+
+    logging.getLogger("slr_tpu").warning(
+        "image asset %s unavailable; substituting a procedural sky", path)
+    return _placeholder_sky()
+
+
+def _placeholder_sky(h: int = 64, w: int = 128) -> np.ndarray:
+    """Equirect gradient sky with a bright sun disc — gives the env-map
+    importance sampler something nontrivial to chew on."""
+    v = (np.arange(h, dtype=np.float32) + 0.5) / h   # 0 top .. 1 bottom
+    u = (np.arange(w, dtype=np.float32) + 0.5) / w
+    uu, vv = np.meshgrid(u, v)
+    zenith = np.array([0.35, 0.55, 1.0], np.float32)
+    horizon = np.array([0.9, 0.85, 0.8], np.float32)
+    ground = np.array([0.25, 0.22, 0.2], np.float32)
+    tcol = np.where(
+        (vv < 0.5)[..., None],
+        zenith * (1 - 2 * vv)[..., None] + horizon * (2 * vv)[..., None],
+        horizon * (2 - 2 * vv)[..., None] + ground * (2 * vv - 1)[..., None],
+    ).astype(np.float32)
+    # sun at (u, v) = (0.25, 0.3)
+    ang = (uu - 0.25) ** 2 + (vv - 0.3) ** 2
+    sun = np.exp(-ang / 0.0004)[..., None] * np.float32([40.0, 36.0, 30.0])
+    rgba = np.concatenate(
+        [tcol + sun, np.ones((h, w, 1), np.float32)], axis=-1
+    )
+    return rgba
 
 
 def _load_model(ctx: ApiContext, path: str, mat_proc) -> Node:
@@ -640,7 +700,48 @@ def _load_model(ctx: ApiContext, path: str, mat_proc) -> Node:
         mesh.groups = [(mat, None, None, g[3]) for g in mesh.groups]
         node.add_child(mesh)
         return node
-    raise DSLError(f"cannot load model: {path} (assets not bundled)")
+    # Missing / binary-assimp assets (the reference repo does not bundle its
+    # models, README.md:71-72): substitute a unit-cube placeholder so the
+    # scene still loads, instances, and renders structurally.
+    import logging
+
+    logging.getLogger("slr_tpu").warning(
+        "model asset %s unavailable; substituting a unit-cube placeholder",
+        path,
+    )
+    mesh = _unit_cube_mesh(os.path.basename(path))
+    mat = _apply_mat_proc(ctx, mat_proc, os.path.basename(path))
+    mesh.groups = [(mat, None, None, g[3]) for g in mesh.groups]
+    node.add_child(mesh)
+    return node
+
+
+def _unit_cube_mesh(name: str) -> MeshNode:
+    """Axis-aligned cube on [-0.5, 0.5]^2 x [0, 1] (sits on y=0 like most of
+    the reference models it stands in for)."""
+    mesh = MeshNode("placeholder:" + name)
+    faces = [
+        ((0, 0, 1), [(-0.5, 0, 0.5), (0.5, 0, 0.5), (0.5, 1, 0.5), (-0.5, 1, 0.5)]),
+        ((0, 0, -1), [(0.5, 0, -0.5), (-0.5, 0, -0.5), (-0.5, 1, -0.5), (0.5, 1, -0.5)]),
+        ((1, 0, 0), [(0.5, 0, 0.5), (0.5, 0, -0.5), (0.5, 1, -0.5), (0.5, 1, 0.5)]),
+        ((-1, 0, 0), [(-0.5, 0, -0.5), (-0.5, 0, 0.5), (-0.5, 1, 0.5), (-0.5, 1, -0.5)]),
+        ((0, 1, 0), [(-0.5, 1, 0.5), (0.5, 1, 0.5), (0.5, 1, -0.5), (-0.5, 1, -0.5)]),
+        ((0, -1, 0), [(-0.5, 0, -0.5), (0.5, 0, -0.5), (0.5, 0, 0.5), (-0.5, 0, 0.5)]),
+    ]
+    uv4 = [(0, 0), (1, 0), (1, 1), (0, 1)]
+    tris = []
+    for n, quad in faces:
+        base = len(mesh.vertices)
+        nn = np.asarray(n, np.float32)
+        tangent = _any_tangent(nn)
+        for p, uv in zip(quad, uv4):
+            mesh.vertices.append(Vertex(
+                np.asarray(p, np.float32), nn, tangent,
+                np.asarray(uv, np.float32),
+            ))
+        tris += [(base, base + 1, base + 2), (base, base + 2, base + 3)]
+    mesh.add_group(None, None, None, tris)
+    return mesh
 
 
 def _apply_mat_proc(ctx: ApiContext, mat_proc, name: str) -> MaterialDesc:
@@ -653,7 +754,15 @@ def _apply_mat_proc(ctx: ApiContext, mat_proc, name: str) -> MaterialDesc:
         )
     args = TupleVal()
     args.add(None, name)
-    args.add(None, TupleVal())
+    # Material attributes the reference translates from assimp
+    # (node_constructor.cpp:35-105); placeholders since assets aren't bundled.
+    attrs = TupleVal()
+    attrs.add("diffuse textures", TupleVal())
+    dif = TupleVal()
+    for c in (0.6, 0.6, 0.6):
+        dif.add(None, c)
+    attrs.add("diffuse color", dif)
+    args.add(None, attrs)
     return mat_proc(args, ctx)
 
 

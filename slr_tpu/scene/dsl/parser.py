@@ -335,6 +335,24 @@ def apply_binary(a: Any, op: str, b: Any) -> Any:
             return a.scaled(float(b))
         if isinstance(a, (int, float)) and hasattr(b, "scaled"):
             return b.scaled(float(a))
+        if isinstance(a, np.ndarray) and a.shape == (4, 4) and hasattr(
+            b, "position"
+        ) and hasattr(b, "normal"):
+            # Matrix * Vertex -> transformed vertex (reference TypeInfo
+            # Matrix x Vertex operator; used e.g. IBL_Test.txt:50-53).
+            lin = a[:3, :3]
+            inv_t = np.linalg.inv(lin).T
+            n = np.asarray(b.normal, np.float32) @ inv_t.T
+            n = n / max(float(np.linalg.norm(n)), 1e-20)
+            t = np.asarray(b.tangent, np.float32) @ lin.T
+            t = t / max(float(np.linalg.norm(t)), 1e-20)
+            return type(b)(
+                position=(np.asarray(b.position, np.float32) @ lin.T
+                          + a[:3, 3]).astype(np.float32),
+                normal=n.astype(np.float32),
+                tangent=t.astype(np.float32),
+                uv=np.asarray(b.uv, np.float32),
+            )
         return a * b
     if op == "/":
         if hasattr(a, "scaled") and isinstance(b, (int, float)):

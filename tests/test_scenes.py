@@ -1,0 +1,62 @@
+"""End-to-end loading of ALL bundled reference TestScenes.
+
+The reference repo does not bundle its binary model assets or EXR
+environments (README.md:71-72); missing assets substitute placeholders
+(unit cube / procedural sky) so every scene still parses through the full
+DSL -> graph -> flatten pipeline. RTC3 exercises createReferenceNode
+instancing + scanXZFromYPlus scattering; IBL_Test exercises the env light.
+"""
+import os
+
+import numpy as np
+import pytest
+
+from slr_tpu.scene.api import load_scene
+
+REF_SCENES = "/root/reference/TestScenes"
+ALL = [
+    "Cornell_Box_Spheres.txt",
+    "Cornell_Box_Boxes.txt",
+    "Cornell_Box_ColorChecker.txt",
+    "Cornell_Box_ColorChecker_OverrideMaterial.txt",
+    "IBL_Test.txt",
+    "RTC3.txt",
+    "RTC3_pika.txt",
+]
+
+
+@pytest.mark.parametrize("name", ALL)
+def test_scene_loads(name):
+    path = os.path.join(REF_SCENES, name)
+    if not os.path.exists(path):
+        pytest.skip("reference scenes unavailable")
+    scene, renderer_cfg, settings = load_scene(path, use_bvh=False)
+    assert scene.geometry.num_tris > 0
+    assert scene.materials.num >= 1
+    assert settings["width"] > 0 and settings["height"] > 0
+    assert renderer_cfg.get("method") in ("PT", "BPT", "debug", "DEBUG",
+                                          "pt", "bpt")
+
+
+def test_rtc3_instances_shared():
+    # RTC3 scatters grass/trees with createReferenceNode: the two-level
+    # structure must hold shared BLASes, not duplicated geometry.
+    path = os.path.join(REF_SCENES, "RTC3.txt")
+    if not os.path.exists(path):
+        pytest.skip("reference scenes unavailable")
+    scene, _, _ = load_scene(path, use_bvh=False)
+    assert scene.instances is not None
+    assert scene.instances.num >= 2
+
+
+def test_ibl_scene_renders():
+    path = os.path.join(REF_SCENES, "IBL_Test.txt")
+    if not os.path.exists(path):
+        pytest.skip("reference scenes unavailable")
+    from slr_tpu.render.pt import render
+
+    scene, _, _ = load_scene(path, use_bvh=False)
+    assert scene.has_env
+    img = render(scene, 24, 24, spp=1, max_depth=3)
+    a = np.asarray(img)
+    assert np.isfinite(a).all() and a.mean() > 0.0
