@@ -25,8 +25,12 @@ def main() -> None:
     ap.add_argument("--out", default=".", help="output directory")
     ap.add_argument("--spectral", action="store_true",
                     help="full spectral rendering (default RGB)")
-    ap.add_argument("--renderer", choices=("pt", "bpt", "debug"), default=None,
-                    help="override the scene's renderer")
+    ap.add_argument("--renderer",
+                    choices=("pt", "bpt", "debug", "sppm", "amcmcppm"),
+                    default=None, help="override the scene's renderer "
+                    "(sppm/amcmcppm: progressive photon mapping)")
+    ap.add_argument("--format", choices=("png", "bmp"), default="png",
+                    help="image output format (bmp matches the reference)")
     ap.add_argument("--max-depth", type=int, default=16)
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
     ap.add_argument("--profile", default=None, metavar="DIR",
@@ -53,9 +57,12 @@ def main() -> None:
 
     import numpy as np
 
-    from .render.film import develop, save_png
+    from .render.film import develop, save_bmp, save_png
     from .render.pt import render
     from .scene.api import load_scene
+
+    ext = args.format
+    save_img = save_bmp if args.format == "bmp" else save_png
 
     t0 = time.time()
     scene, renderer_cfg, settings = load_scene(args.scene,
@@ -75,17 +82,30 @@ def main() -> None:
         from .render.debug import render_aovs
 
         aov = render_aovs(scene, width, height)
-        save_png(os.path.join(args.out, "gnormal.png"),
+        save_img(os.path.join(args.out, f"gnormal.{ext}"),
                  np.asarray(aov.g_normal) * 0.5 + 0.5)
-        save_png(os.path.join(args.out, "snormal.png"),
+        save_img(os.path.join(args.out, f"snormal.{ext}"),
                  np.asarray(aov.s_normal) * 0.5 + 0.5)
-        save_png(os.path.join(args.out, "stangent.png"),
+        save_img(os.path.join(args.out, f"stangent.{ext}"),
                  np.asarray(aov.s_tangent) * 0.5 + 0.5)
         dist = np.asarray(aov.distance)
         dmax = dist.max() or 1.0
-        save_png(os.path.join(args.out, "distance.png"),
+        save_img(os.path.join(args.out, f"distance.{ext}"),
                  np.repeat((dist / dmax)[..., None], 3, axis=-1))
         print(f"AOVs written to {args.out}")
+        return
+
+    if method in ("sppm", "amcmcppm"):
+        from .render.ppm import render_ppm
+
+        img = render_ppm(scene, width, height, n_iterations=max(spp, 1),
+                         n_photon_paths=1 << 15, max_bounces=args.max_depth,
+                         seed=int(settings.get("rngSeed", 0)) & 0xFFFFFFFF,
+                         use_mcmc=(method == "amcmcppm"))
+        out = os.path.join(args.out, f"ppm.{ext}")
+        save_img(out, develop(np.asarray(img), brightness))
+        print(f"{method} ({spp} waves x 32768 photon paths): {out}, "
+              f"{time.time() - t0:.1f}s")
         return
 
     use_bpt = method == "bpt"
@@ -137,8 +157,8 @@ def main() -> None:
         first_pass = False
         accum = img * step if accum is None else accum + img * step
         done += step
-        out = os.path.join(args.out, f"{img_idx:03d}.png")
-        save_png(out, develop(accum / done, brightness))
+        out = os.path.join(args.out, f"{img_idx:03d}.{ext}")
+        save_img(out, develop(accum / done, brightness))
         save_checkpoint(ckpt_path, {"accum": accum, "done": done})
         print(f"{done} samples: {out}, {time.time() - t0:.1f}s "
               f"[{meter.mrays_per_s:.2f} Mrays/s]")

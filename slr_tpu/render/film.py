@@ -51,3 +51,57 @@ def save_png(path: str, img01) -> None:
     png += chunk(b"IEND", b"")
     with open(path, "wb") as f:
         f.write(png)
+
+
+def save_bmp(path: str, img01) -> None:
+    """Minimal BMP writer (24-bit BGR, bottom-up) — the reference's output
+    format (libSLR/Helper/bmp_exporter.{h,cpp}, used by ImageSensor::saveImage
+    and the distribution debug dumps)."""
+    import struct
+
+    arr = to_uint8(img01)
+    h, w = arr.shape[:2]
+    row_pad = (-3 * w) % 4
+    body = b"".join(
+        arr[h - 1 - row, :, ::-1].tobytes() + b"\x00" * row_pad
+        for row in range(h)
+    )
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(body), 0, 0, 54
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835,
+                    0, 0)
+    with open(path, "wb") as f:
+        f.write(header + body)
+
+
+class CompensatedFilm:
+    """Kahan-compensated accumulation buffer (reference CompensatedSum /
+    SpectrumStorage, CompensatedSum.h:1-35, SpectrumTypes.h:826-835).
+
+    fp32 accumulation is adequate at typical sample counts; this variant
+    keeps the compensation term for very long progressive runs (>~1M spp)
+    where per-texel sums span many orders of magnitude. Pure pytree —
+    checkpointable with utils/checkpoint.py."""
+
+    def __init__(self, height: int, width: int, channels: int):
+        import jax.numpy as jnp
+
+        self.sum = jnp.zeros((height, width, channels), jnp.float32)
+        self.comp = jnp.zeros((height, width, channels), jnp.float32)
+
+    def add(self, values):
+        """values: (H, W, C) one pass of contributions."""
+        self.sum, self.comp = kahan_add(self.sum, self.comp, values)
+        return self
+
+    @property
+    def value(self):
+        return self.sum + self.comp
+
+
+def kahan_add(total, comp, values):
+    """One Kahan step (CompensatedSum::operator+=, CompensatedSum.h:18-27)."""
+    y = values - comp
+    t = total + y
+    new_comp = (t - total) - y
+    return t, new_comp

@@ -1,0 +1,382 @@
+"""Persistent-wavefront path tracer with path regeneration.
+
+Same estimator as render/pt.py (PathTracingRenderer.cpp:137-262 semantics,
+identical counter-based random streams), different scheduling: instead of
+spp fixed-depth passes whose terminated lanes idle masked, every lane is
+pinned to its pixel and REGENERATES — the moment its path dies (miss, RR,
+depth cap) it banks the sample into its film accumulator and immediately
+starts the next sample's camera ray. Every iteration of the outer
+`lax.while_loop` therefore performs one useful closest-hit cast and one
+useful NEE shadow cast for (nearly) every lane, cutting total ray-triangle
+work per sample by ~E[path length]/max_depth compared to the padded loop.
+
+This is the TPU analogue of persistent-threads/wavefront scheduling on GPUs
+(SURVEY.md §5 "persistent mega-batches"); the reference's per-ray
+`while (true)` loop (PathTracingRenderer.cpp:160) maps onto it directly —
+including its depth cap of 100, which is affordable here because depth no
+longer costs padded iterations.
+
+Because the RNG is keyed by (pixel, sample, bounce, decision), each lane's
+sample sequence is identical to pt.render's: the two renderers agree to fp
+tolerance (tests/test_wavefront.py).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..accel.intersect import RAY_EPSILON, sample_triangle_point
+from ..bsdf.bsdf import (
+    bsdf_evaluate,
+    bsdf_has_nondelta,
+    bsdf_pdf,
+    bsdf_sample,
+    emitted_radiance,
+    gather_lobes,
+    is_emissive,
+)
+from ..camera.perspective import sample_camera_rays, sample_camera_rays_equirect
+from ..core import rng
+from ..core.math3d import Array, dot, frame_from_local, frame_to_local
+from ..core.rng import Decision
+from ..core.sampling import (
+    pdf_continuous_2d,
+    power_heuristic,
+    sample_continuous_2d,
+)
+from ..render.pt import (
+    _area_light_prob,
+    _env_radiance,
+    _env_direction,
+    _env_uv_from_direction,
+    _select_light,
+    resolve_sp,
+    scene_intersect_alpha,
+    scene_occluded,
+)
+from ..scene.types import CameraKind, FlatScene
+from ..spectrum.rgb import importance
+
+DEFAULT_MAX_DEPTH = 100  # the reference's path cap (PathTracingRenderer.cpp)
+
+
+class LaneState(NamedTuple):
+    """Per-lane (per-pixel) persistent state."""
+
+    sample_id: Array    # (R,) uint32 absolute sample index being traced
+    bounce: Array       # (R,) int32  casts completed for the current sample
+    ray_o: Array        # (R, 3)
+    ray_d: Array        # (R, 3)
+    alpha: Array        # (R, S)
+    radiance: Array     # (R, S) current-sample accumulator
+    cam_weight: Array   # (R,)   camera estimator weight of current sample
+    hero: Array         # (R,)   int32
+    lambdas: Array      # (R, S) wavelengths (zeros in RGB mode)
+    wl_selected: Array  # (R,) bool
+    prev_pdf: Array     # (R,)  BSDF pdf of the in-flight ray
+    prev_delta: Array   # (R,) bool
+    init_y: Array       # (R,)
+    f_time: Array       # (R,)  shutter fraction (zeros when static)
+    film: Array         # (R, S_film) banked completed samples
+    n_iters: Array      # ()    iteration counter (reporting)
+
+
+def _camera_ray(scene: FlatScene, pixel_id, sample_id, seed, width, height):
+    pid = pixel_id
+    px = (pid % width.astype(jnp.uint32)).astype(jnp.float32)
+    py = (pid // width.astype(jnp.uint32)).astype(jnp.float32)
+    jx = rng.uniform(seed, pid, sample_id, 0, Decision.PIXEL_X)
+    jy = rng.uniform(seed, pid, sample_id, 0, Decision.PIXEL_Y)
+    if scene.camera.kind == CameraKind.EQUIRECTANGULAR:
+        return sample_camera_rays_equirect(
+            scene.camera, px + jx, py + jy, width, height)
+    lx = rng.uniform(seed, pid, sample_id, 0, Decision.LENS_U)
+    ly = rng.uniform(seed, pid, sample_id, 0, Decision.LENS_V)
+    return sample_camera_rays(
+        scene.camera, px + jx, py + jy, width, height, lx, ly)
+
+
+def _fresh_sample(scene: FlatScene, pixel_id, sample_id, seed, width, height,
+                  s: int, spectral: bool):
+    """Everything a lane needs to start sample `sample_id`."""
+    rays = _camera_ray(scene, pixel_id, sample_id, seed, width, height)
+    u_wl = rng.uniform(seed, pixel_id, sample_id, 0, Decision.WL_SELECT)
+    if spectral:
+        from ..spectrum.spectral import sample_wavelengths
+
+        u_off = rng.uniform(seed, pixel_id, sample_id, 0, Decision.WAVELENGTH)
+        wls = sample_wavelengths(u_off, u_wl)
+        lambdas = wls.lambdas
+        hero = wls.hero
+    else:
+        lambdas = jnp.zeros(pixel_id.shape + (s,), jnp.float32)
+        hero = jnp.minimum((u_wl * s).astype(jnp.int32), s - 1)
+    if scene.instances is not None:
+        f_time = rng.uniform(seed, pixel_id, sample_id, 0, Decision.TIME)
+    else:
+        f_time = jnp.zeros(pixel_id.shape, jnp.float32)
+    return rays, hero, lambdas, f_time
+
+
+def _bank(film, radiance, cam_weight, lambdas, spectral: bool):
+    """Fold one finished sample into the film accumulator."""
+    weighted = cam_weight[:, None] * radiance
+    if spectral:
+        from ..spectrum.spectral import (
+            NUM_SPECTRAL_SAMPLES, WL_HI, WL_LO, bin_to_strata)
+
+        return film + bin_to_strata(
+            lambdas, weighted / (NUM_SPECTRAL_SAMPLES / (WL_HI - WL_LO)))
+    return film + weighted
+
+
+@partial(jax.jit, static_argnames=("n_pix", "max_depth"))
+def _run_wavefront(scene: FlatScene, n_pix: int, spp_end, seed, width, height,
+                   sample_offset, max_depth: int):
+    from ..spectrum.spectral import NUM_SPECTRAL_SAMPLES, NUM_STRATA
+
+    spectral = scene.stex.spectral
+    s = NUM_SPECTRAL_SAMPLES if spectral else scene.stex.value.shape[-1]
+    s_film = NUM_STRATA if spectral else s
+    pixel_id = jnp.arange(n_pix, dtype=jnp.uint32)
+    seed = jnp.asarray(seed, jnp.uint32)
+    width = jnp.asarray(width, jnp.uint32)
+    height = jnp.asarray(height, jnp.uint32)
+    sample0 = jnp.broadcast_to(
+        jnp.asarray(sample_offset, jnp.uint32), (n_pix,))
+
+    rays, hero, lambdas, f_time = _fresh_sample(
+        scene, pixel_id, sample0, seed, width, height, s, spectral)
+    ones = jnp.ones((n_pix, s), jnp.float32)
+    state = LaneState(
+        sample_id=sample0,
+        bounce=jnp.zeros((n_pix,), jnp.int32),
+        ray_o=rays.o,
+        ray_d=rays.d,
+        alpha=ones,
+        radiance=jnp.zeros((n_pix, s), jnp.float32),
+        cam_weight=rays.weight,
+        hero=hero,
+        lambdas=lambdas,
+        wl_selected=jnp.zeros((n_pix,), bool),
+        prev_pdf=jnp.zeros((n_pix,), jnp.float32),
+        prev_delta=jnp.zeros((n_pix,), bool),
+        init_y=importance(ones, hero),
+        f_time=f_time,
+        film=jnp.zeros((n_pix, s_film), jnp.float32),
+        n_iters=jnp.zeros((), jnp.int32),
+    )
+    spp_end = jnp.asarray(spp_end, jnp.uint32)
+
+    def cond(state: LaneState):
+        return jnp.any(state.sample_id < spp_end)
+
+    def body(state: LaneState):
+        lane_on = state.sample_id < spp_end
+        ft = state.f_time if scene.instances is not None else None
+        lam_s = state.lambdas if spectral else None
+
+        # ---- cast the in-flight ray ------------------------------------
+        hit = scene_intersect_alpha(scene, state.ray_o, state.ray_d, f=ft)
+        sp = resolve_sp(scene, hit, state.ray_o, state.ray_d, f=ft)
+        hit_ok = lane_on & hit.mask
+        first = state.bounce == 0
+
+        # ---- emission at the hit / environment on miss ------------------
+        cos_out = dot(-state.ray_d, sp.sn)
+        le = emitted_radiance(scene, sp.mat_id, sp.uv, cos_out, lam_s)
+        d2 = jnp.maximum(jnp.sum((sp.p - state.ray_o) ** 2, axis=-1), 1e-12)
+        cos_g = jnp.abs(dot(state.ray_d, sp.gn))
+        l_prob = _area_light_prob(scene)
+        light_pdf_hit = l_prob * sp.area_pdf * d2 / jnp.maximum(cos_g, 1e-12)
+        mis_b = jnp.where(
+            first | state.prev_delta, 1.0,
+            power_heuristic(state.prev_pdf, light_pdf_hit))
+        emissive = hit_ok & is_emissive(scene.materials, sp.mat_id)
+        radiance = state.radiance + jnp.where(
+            emissive[:, None], state.alpha * le * mis_b[:, None], 0.0)
+
+        if scene.has_env:
+            esc = lane_on & jnp.logical_not(hit.mask)
+            eu, ev = _env_uv_from_direction(state.ray_d)
+            env_le = _env_radiance(scene, eu, ev, lam_s)
+            env_uvpdf = pdf_continuous_2d(scene.env.dist, eu, ev)
+            env_pdf = (scene.lights.env_prob * env_uvpdf
+                       / jnp.maximum(2.0 * jnp.pi**2
+                                     * jnp.sin(ev * jnp.pi), 1e-8))
+            mis_env = jnp.where(
+                first | state.prev_delta, 1.0,
+                power_heuristic(state.prev_pdf, env_pdf))
+            radiance = radiance + jnp.where(
+                esc[:, None], state.alpha * env_le * mis_env[:, None], 0.0)
+
+        # ---- shade: NEE + BSDF sample + RR (pt.py bounce body) ----------
+        bounce_id = (state.bounce + 1).astype(jnp.uint32)
+        fx, fy, fz = sp.tangent, sp.bitangent, sp.sn
+        wo = frame_to_local(fx, fy, fz, -state.ray_d)
+        gn_sn = frame_to_local(fx, fy, fz, sp.gn)
+        lobes = gather_lobes(scene, sp.mat_id, sp.uv, sp.p, lam_s)
+        nondelta = bsdf_has_nondelta(lobes)
+
+        u_sel = rng.uniform(seed, pixel_id, state.sample_id, bounce_id,
+                            Decision.LIGHT_SELECT)
+        lu0 = rng.uniform(seed, pixel_id, state.sample_id, bounce_id,
+                          Decision.LIGHT_POS_U)
+        lu1 = rng.uniform(seed, pixel_id, state.sample_id, bounce_id,
+                          Decision.LIGHT_POS_V)
+        light_tri, light_prob, is_env = _select_light(scene, u_sel)
+        lp = sample_triangle_point(scene.geometry, light_tri, lu0, lu1)
+
+        delta_p = lp.p - sp.p
+        dist2 = jnp.maximum(jnp.sum(delta_p * delta_p, axis=-1), 1e-12)
+        dist = jnp.sqrt(dist2)
+        area_dir = delta_p / dist[:, None]
+        if scene.has_env:
+            ex, ey, uvpdf = sample_continuous_2d(scene.env.dist, lu0, lu1)
+            e_theta = ey * jnp.pi
+            e_dir = _env_direction(ex * 2 * jnp.pi, e_theta)
+            env_area_pdf = uvpdf / jnp.maximum(
+                2.0 * jnp.pi**2 * jnp.sin(e_theta), 1e-8)
+            shadow_dir = jnp.where(is_env[:, None], e_dir, area_dir)
+            shadow_tmax = jnp.where(is_env, 4.0 * scene.world_radius,
+                                    dist * (1.0 - 1e-3))
+        else:
+            shadow_dir = area_dir
+            shadow_tmax = dist * (1.0 - 1e-3)
+
+        vis = jnp.logical_not(scene_occluded(
+            scene, sp.p, shadow_dir, RAY_EPSILON, shadow_tmax, f=ft))
+        shadow_dir_sn = frame_to_local(fx, fy, fz, shadow_dir)
+        fs_nee = bsdf_evaluate(lobes, wo, shadow_dir_sn, gn_sn, state.hero)
+        pdf_bsdf_w = bsdf_pdf(lobes, wo, shadow_dir_sn, gn_sn, state.hero)
+
+        cos_light_s = dot(-shadow_dir, lp.sn)
+        le_nee = emitted_radiance(scene, lp.mat_id, lp.uv, cos_light_s, lam_s)
+        light_pdf = light_prob * lp.area_pdf
+        cos_light = jnp.abs(dot(-shadow_dir, lp.gn))
+        bsdf_pdf_sa = pdf_bsdf_w * cos_light / dist2
+        mis_w = power_heuristic(light_pdf, bsdf_pdf_sa)
+        g = jnp.abs(dot(shadow_dir_sn, gn_sn)) * cos_light / dist2
+        contrib_nee = (state.alpha * le_nee * fs_nee
+                       * (g * mis_w / jnp.maximum(light_pdf, 1e-30))[:, None])
+        # Depth accounting matches pt.py exactly: NEE at hit b contributes a
+        # path of b+1 segments, allowed iff b < max_depth; the same condition
+        # gates extending (cast b+1). The final allowed hit gets Le only.
+        depth_ok = state.bounce < max_depth
+        nee_ok = (hit_ok & depth_ok & nondelta & vis & (light_pdf > 0)
+                  & jnp.logical_not(is_env))
+        radiance = radiance + jnp.where(nee_ok[:, None], contrib_nee, 0.0)
+
+        if scene.has_env:
+            le_env = _env_radiance(scene, ex, ey, lam_s)
+            env_light_pdf = light_prob * env_area_pdf
+            mis_env2 = power_heuristic(env_light_pdf, pdf_bsdf_w)
+            g_env = jnp.abs(dot(shadow_dir_sn, gn_sn))
+            contrib_env = (
+                state.alpha * le_env * fs_nee
+                * (g_env * mis_env2
+                   / jnp.maximum(env_light_pdf, 1e-30))[:, None])
+            env_ok = (hit_ok & depth_ok & nondelta & vis & is_env
+                      & (env_light_pdf > 0))
+            radiance = radiance + jnp.where(env_ok[:, None], contrib_env, 0.0)
+
+        uc = rng.uniform(seed, pixel_id, state.sample_id, bounce_id,
+                         Decision.BSDF_COMPONENT)
+        u0 = rng.uniform(seed, pixel_id, state.sample_id, bounce_id,
+                         Decision.BSDF_U)
+        u1 = rng.uniform(seed, pixel_id, state.sample_id, bounce_id,
+                         Decision.BSDF_V)
+        smp = bsdf_sample(lobes, wo, gn_sn, state.hero, state.wl_selected,
+                          uc, u0, u1)
+        smp = smp._replace(wi=jax.lax.stop_gradient(smp.wi),
+                           pdf=jax.lax.stop_gradient(smp.pdf))
+        dir_pdf = jnp.where(smp.dispersive, smp.pdf / s, smp.pdf)
+        wl_sel_new = state.wl_selected | smp.dispersive
+
+        cos_sn = jnp.abs(dot(smp.wi, gn_sn))
+        new_alpha = state.alpha * smp.fs * (
+            cos_sn / jnp.maximum(dir_pdf, 1e-30))[:, None]
+        sample_ok = hit_ok & (dir_pdf > 0) & jnp.logical_not(
+            jnp.all(smp.fs == 0.0, axis=-1))
+
+        cont_p = jax.lax.stop_gradient(jnp.minimum(
+            importance(new_alpha, state.hero)
+            / jnp.maximum(state.init_y, 1e-30), 1.0))
+        u_rr = rng.uniform(seed, pixel_id, state.sample_id, bounce_id,
+                           Decision.RR)
+        survive = u_rr < cont_p
+        new_alpha = jnp.where(survive[:, None],
+                              new_alpha / jnp.maximum(cont_p, 1e-30)[:, None],
+                              new_alpha)
+
+        extend = sample_ok & survive & depth_ok
+
+        # ---- regenerate finished lanes ----------------------------------
+        finish = lane_on & jnp.logical_not(extend)
+        film = jnp.where(
+            finish[:, None],
+            _bank(state.film, radiance, state.cam_weight, state.lambdas,
+                  spectral),
+            state.film)
+        next_sample = jnp.where(finish, state.sample_id + 1, state.sample_id)
+        regen = finish & (next_sample < spp_end)
+
+        n_rays, n_hero, n_lam, n_ft = _fresh_sample(
+            scene, pixel_id, next_sample, seed, width, height, s, spectral)
+
+        def pick(cond_v, a, b):
+            c = cond_v.reshape((-1,) + (1,) * (a.ndim - 1))
+            return jnp.where(c, a, b)
+
+        new_state = LaneState(
+            sample_id=next_sample,
+            bounce=jnp.where(finish, 0, state.bounce + 1),
+            ray_o=pick(regen, n_rays.o, sp.p),
+            ray_d=pick(regen, n_rays.d,
+                       frame_from_local(fx, fy, fz, smp.wi)),
+            alpha=pick(finish, ones, new_alpha),
+            radiance=jnp.where(finish[:, None], 0.0, radiance),
+            cam_weight=pick(regen, n_rays.weight, state.cam_weight),
+            hero=pick(regen, n_hero, state.hero),
+            lambdas=pick(regen, n_lam, state.lambdas),
+            wl_selected=jnp.where(finish, False, wl_sel_new),
+            prev_pdf=jnp.where(finish, 0.0, dir_pdf),
+            prev_delta=jnp.where(finish, False, smp.is_delta),
+            init_y=pick(regen, importance(ones, n_hero), state.init_y),
+            f_time=pick(regen, n_ft, state.f_time),
+            film=film,
+            n_iters=state.n_iters + 1,
+        )
+        return new_state
+
+    state = jax.lax.while_loop(cond, body, state)
+    return state.film, state.n_iters
+
+
+def render_wavefront(
+    scene: FlatScene,
+    width: int,
+    height: int,
+    spp: int,
+    seed: int = 0,
+    max_depth: int = DEFAULT_MAX_DEPTH,
+    sample_offset: int = 0,
+    return_iters: bool = False,
+):
+    """Drop-in replacement for pt.render with regeneration scheduling.
+    Returns (H, W, S) mean linear radiance (develop with render/film.py)."""
+    from ..spectrum.spectral import strata_to_rgb
+
+    n_pix = width * height
+    film, n_iters = _run_wavefront(
+        scene, n_pix, sample_offset + spp, seed, width, height,
+        sample_offset, max_depth)
+    film = (film / spp).reshape(height, width, -1)
+    if scene.stex.spectral:
+        film = strata_to_rgb(film)
+    if return_iters:
+        return film, int(n_iters)
+    return film

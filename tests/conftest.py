@@ -20,3 +20,9 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+# Persistent XLA compile cache: the heavy BPT/grad test programs compile once
+# per code change instead of once per pytest invocation (2-core host).
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+jax.config.update("jax_persistent_cache_enable_xla_caches",
+                  "xla_gpu_per_fusion_autotune_cache_dir")
