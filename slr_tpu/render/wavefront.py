@@ -78,6 +78,16 @@ class LaneState(NamedTuple):
     wl_selected: Array  # (R,) bool
     prev_pdf: Array     # (R,)  BSDF pdf of the in-flight ray
     prev_delta: Array   # (R,) bool
+    last: Array         # (R,) bool in-flight segment is the path's last (RR
+                        #     killed it): collect its Le, then terminate —
+                        #     matching the reference's order of implicit-hit
+                        #     accumulation before the RR break
+                        #     (PathTracingRenderer.cpp:232-258)
+    rr_scale: Array     # (R,) 1/cont_p of the RR draw that allowed this
+                        #     segment. The reference divides alpha only AFTER
+                        #     the implicit-hit Le, so the carried alpha stays
+                        #     undivided for emission and is rescaled by this
+                        #     before any further shading.
     init_y: Array       # (R,)
     f_time: Array       # (R,)  shutter fraction (zeros when static)
     film: Array         # (R, S_film) banked completed samples
@@ -164,6 +174,8 @@ def _run_wavefront(scene: FlatScene, n_pix: int, spp_end, seed, width, height,
         wl_selected=jnp.zeros((n_pix,), bool),
         prev_pdf=jnp.zeros((n_pix,), jnp.float32),
         prev_delta=jnp.zeros((n_pix,), bool),
+        last=jnp.zeros((n_pix,), bool),
+        rr_scale=jnp.ones((n_pix,), jnp.float32),
         init_y=importance(ones, hero),
         f_time=f_time,
         film=jnp.zeros((n_pix, s_film), jnp.float32),
@@ -214,6 +226,9 @@ def _run_wavefront(scene: FlatScene, n_pix: int, spp_end, seed, width, height,
                 esc[:, None], state.alpha * env_le * mis_env[:, None], 0.0)
 
         # ---- shade: NEE + BSDF sample + RR (pt.py bounce body) ----------
+        # Shading (NEE + next-segment throughput) sees the RR-divided alpha;
+        # the emission above intentionally saw the undivided one.
+        alpha_sh = state.alpha * state.rr_scale[:, None]
         bounce_id = (state.bounce + 1).astype(jnp.uint32)
         fx, fy, fz = sp.tangent, sp.bitangent, sp.sn
         wo = frame_to_local(fx, fy, fz, -state.ray_d)
@@ -260,12 +275,12 @@ def _run_wavefront(scene: FlatScene, n_pix: int, spp_end, seed, width, height,
         bsdf_pdf_sa = pdf_bsdf_w * cos_light / dist2
         mis_w = power_heuristic(light_pdf, bsdf_pdf_sa)
         g = jnp.abs(dot(shadow_dir_sn, gn_sn)) * cos_light / dist2
-        contrib_nee = (state.alpha * le_nee * fs_nee
+        contrib_nee = (alpha_sh * le_nee * fs_nee
                        * (g * mis_w / jnp.maximum(light_pdf, 1e-30))[:, None])
         # Depth accounting matches pt.py exactly: NEE at hit b contributes a
         # path of b+1 segments, allowed iff b < max_depth; the same condition
         # gates extending (cast b+1). The final allowed hit gets Le only.
-        depth_ok = state.bounce < max_depth
+        depth_ok = (state.bounce < max_depth) & jnp.logical_not(state.last)
         nee_ok = (hit_ok & depth_ok & nondelta & vis & (light_pdf > 0)
                   & jnp.logical_not(is_env))
         radiance = radiance + jnp.where(nee_ok[:, None], contrib_nee, 0.0)
@@ -276,7 +291,7 @@ def _run_wavefront(scene: FlatScene, n_pix: int, spp_end, seed, width, height,
             mis_env2 = power_heuristic(env_light_pdf, pdf_bsdf_w)
             g_env = jnp.abs(dot(shadow_dir_sn, gn_sn))
             contrib_env = (
-                state.alpha * le_env * fs_nee
+                alpha_sh * le_env * fs_nee
                 * (g_env * mis_env2
                    / jnp.maximum(env_light_pdf, 1e-30))[:, None])
             env_ok = (hit_ok & depth_ok & nondelta & vis & is_env
@@ -297,7 +312,7 @@ def _run_wavefront(scene: FlatScene, n_pix: int, spp_end, seed, width, height,
         wl_sel_new = state.wl_selected | smp.dispersive
 
         cos_sn = jnp.abs(dot(smp.wi, gn_sn))
-        new_alpha = state.alpha * smp.fs * (
+        new_alpha = alpha_sh * smp.fs * (
             cos_sn / jnp.maximum(dir_pdf, 1e-30))[:, None]
         sample_ok = hit_ok & (dir_pdf > 0) & jnp.logical_not(
             jnp.all(smp.fs == 0.0, axis=-1))
@@ -308,11 +323,17 @@ def _run_wavefront(scene: FlatScene, n_pix: int, spp_end, seed, width, height,
         u_rr = rng.uniform(seed, pixel_id, state.sample_id, bounce_id,
                            Decision.RR)
         survive = u_rr < cont_p
-        new_alpha = jnp.where(survive[:, None],
-                              new_alpha / jnp.maximum(cont_p, 1e-30)[:, None],
-                              new_alpha)
+        # RR-killed paths still cast this final segment (its implicit-hit Le
+        # is collected with the UNdivided alpha, as in pt.py / the reference)
+        # but are flagged `last` so the next iteration only banks Le. The
+        # survivor division is deferred via rr_scale: the next hit's Le must
+        # see the undivided alpha (PathTracingRenderer.cpp order: implicit-hit
+        # accumulation at :232-249 precedes the RR divide at :253-258).
+        rr_next = jnp.where(
+            survive, 1.0 / jnp.maximum(cont_p, 1e-30), 1.0)
 
-        extend = sample_ok & survive & depth_ok
+        extend = sample_ok & depth_ok
+        dying = extend & jnp.logical_not(survive)
 
         # ---- regenerate finished lanes ----------------------------------
         finish = lane_on & jnp.logical_not(extend)
@@ -345,6 +366,8 @@ def _run_wavefront(scene: FlatScene, n_pix: int, spp_end, seed, width, height,
             wl_selected=jnp.where(finish, False, wl_sel_new),
             prev_pdf=jnp.where(finish, 0.0, dir_pdf),
             prev_delta=jnp.where(finish, False, smp.is_delta),
+            last=jnp.where(finish, False, dying),
+            rr_scale=jnp.where(finish, 1.0, rr_next),
             init_y=pick(regen, importance(ones, n_hero), state.init_y),
             f_time=pick(regen, n_ft, state.f_time),
             film=film,
