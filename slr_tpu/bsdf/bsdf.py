@@ -76,6 +76,10 @@ def gather_lobes(scene: FlatScene, mat_id: Array, uv: Array,
             scene.ftex,
             ids.reshape(-1),
             jnp.broadcast_to(uv[:, None, :], (r, l, 2)).reshape(-1, 2),
+            scene.stex.images,
+            scene.stex.image_hw,
+            None if wpos is None
+            else jnp.broadcast_to(wpos[:, None, :], (r, l, 3)).reshape(-1, 3),
         )
         return flat.reshape(r, l)
 

@@ -130,7 +130,8 @@ def scene_intersect_alpha(scene: FlatScene, o: Array, d: Array,
             + h.b1[..., None] * scene.geometry.uvs[vidx[:, 1]]
             + (1.0 - h.b0 - h.b1)[..., None] * scene.geometry.uvs[vidx[:, 2]]
         )
-        a = eval_float_texture(scene.ftex, aid, uv)
+        a = eval_float_texture(scene.ftex, aid, uv,
+                               scene.stex.images, scene.stex.image_hw)
         return h.mask & (aid >= 0) & (a == 0.0)
 
     tmin_b = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), hit.t.shape)

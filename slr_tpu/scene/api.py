@@ -37,6 +37,13 @@ from .graph import (
 _MISSING = object()
 
 
+class _TaggedImage(np.ndarray):
+    """ndarray subclass carrying the Image2D store mode (AsIs/NormalTexture/
+    AlphaTexture) through the dynamically-typed DSL value system."""
+
+    store_mode: str = "AsIs"
+
+
 class ApiContext:
     def __init__(self, scene: SceneDesc, base_dir: str = "."):
         self.scene = scene
@@ -261,13 +268,24 @@ def make_global_env(ctx: ApiContext) -> Env:
     def _float_texture(value=None, procedure=None, params=None, image=None, ctx=None):
         if value is not None:
             return FTexDesc(kind="constant", value=float(value))
+        if image is not None:
+            chan = ("alpha" if getattr(image, "store_mode", "") == "AlphaTexture"
+                    else "lum")
+            return FTexDesc(kind="image", image=np.asarray(image), channel=chan)
         if procedure == "checker board":
             pos = params.positional()
             return FTexDesc(kind="checker", v0=float(pos[0]), v1=float(pos[1]))
+        if procedure == "voronoi":
+            pos = params.positional()
+            cell = float(pos[0]) if pos else 1.0
+            vscale = float(pos[1]) if len(pos) > 1 else 1.0
+            return FTexDesc(kind="voronoi", cell_scale=cell, value_scale=vscale)
         raise DSLError("FloatTexture: unsupported arguments")
 
     env.define("FloatTexture", builtin(
         _sig([("value", float)], lambda value, ctx: FTexDesc(kind="constant", value=float(value))),
+        _sig([("image", np.ndarray)],
+             lambda image, ctx: _float_texture(image=image)),
         _sig([("procedure", str), ("params", TupleVal)],
              lambda procedure, params, ctx: _float_texture(procedure=procedure, params=params)),
     ))
@@ -309,9 +327,16 @@ def make_global_env(ctx: ApiContext) -> Env:
                  values=tuple(float(v) for v in values.positional()))),
     ))
 
+    def _image2d(path, type, ctx):
+        """Image2D(path, mode): mode AsIs | NormalTexture | AlphaTexture
+        (reference ImageStoreMode, API.cpp:461-466). The mode rides on the
+        array so FloatTexture(image) knows to sample the alpha channel."""
+        img = _load_image(ctx, path).view(_TaggedImage)
+        img.store_mode = type
+        return img
+
     env.define("Image2D", builtin(
-        _sig([("path", str), ("type", str, "AsIs")],
-             lambda path, type, ctx: _load_image(ctx, path))
+        _sig([("path", str), ("type", str, "AsIs")], _image2d)
     ))
 
     # -- vertices / meshes --------------------------------------------------
@@ -639,6 +664,16 @@ def _load_image(ctx: ApiContext, path: str) -> np.ndarray:
     environments nor its models) get a procedural sky placeholder so scenes
     still load and render structurally."""
     full = path if os.path.isabs(path) else os.path.join(ctx.base_dir, path)
+    if os.path.exists(full) and full.lower().endswith(".exr"):
+        from ..utils.exr import read_exr
+
+        try:
+            return read_exr(full)  # EXR is linear already
+        except ValueError as e:
+            import logging
+
+            logging.getLogger("slr_tpu").warning("%s; using placeholder", e)
+            return _placeholder_sky()
     if os.path.exists(full) and not full.lower().endswith(".exr"):
         from PIL import Image
 

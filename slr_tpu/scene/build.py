@@ -238,6 +238,30 @@ class SceneBuilder:
         )
         return len(self.ftex) - 1
 
+    def add_ftex_image(self, image_id: int, channel: str = "lum",
+                       scale: float = 1.0, map_scale=(1, 1),
+                       map_offset=(0, 0)) -> int:
+        """Image float texture (ImageFloatTexture / AlphaTexture mode,
+        image_textures.cpp). channel: 'lum' or 'alpha'."""
+        chan = 3.0 if channel == "alpha" else 0.0
+        self.ftex.append(
+            _FTex(FTexKind.IMAGE, float(scale), chan, image_id=image_id,
+                  map_scale=tuple(map_scale), map_offset=tuple(map_offset))
+        )
+        return len(self.ftex) - 1
+
+    def add_ftex_voronoi(self, scale: float, value_scale: float = 1.0) -> int:
+        """VoronoiFloatTexture (voronoi_textures.cpp): per-cell random value
+        in [0, value_scale); `scale` is the cell size."""
+        self.ftex.append(_FTex(FTexKind.VORONOI, float(value_scale),
+                               float(scale)))
+        return len(self.ftex) - 1
+
+    def add_ftex_one_minus(self, src_ftex: int) -> int:
+        """Complement texture 1 - src (MixedSurfaceMaterial's second arm)."""
+        self.ftex.append(_FTex(FTexKind.ONE_MINUS, image_id=src_ftex))
+        return len(self.ftex) - 1
+
     # -- materials ----------------------------------------------------------
     def _add_material(self, lobes: list, emit_stex: int = -1) -> int:
         assert len(lobes) <= MAX_LOBES
@@ -299,10 +323,14 @@ class SceneBuilder:
         lobes = []
         for lb in m0.lobes:
             lobes.append(dataclasses.replace(lb, wtex=ratio_ftex))
-        # complement ratio texture
+        # complement ratio texture: const folds at build time, anything else
+        # evaluates as 1 - ratio(uv) at shade time (reference lerps with the
+        # FloatTexture itself, MixedSurfaceMaterial).
         src = self.ftex[ratio_ftex]
-        assert src.kind == FTexKind.CONST, "mixed with non-const ratio: TODO"
-        inv = self.add_ftex_const(1.0 - src.value)
+        if src.kind == FTexKind.CONST:
+            inv = self.add_ftex_const(1.0 - src.value)
+        else:
+            inv = self.add_ftex_one_minus(ratio_ftex)
         for lb in m1.lobes:
             lobes.append(dataclasses.replace(lb, wtex=inv))
         return self._add_material(lobes)
@@ -585,6 +613,9 @@ class SceneBuilder:
             image_id=jnp.asarray([t.image_id for t in ftexs], jnp.int32),
             map_scale=jnp.asarray([t.map_scale for t in ftexs], jnp.float32),
             map_offset=jnp.asarray([t.map_offset for t in ftexs], jnp.float32),
+            has_image=any(t.kind == FTexKind.IMAGE for t in ftexs),
+            has_voronoi=any(t.kind == FTexKind.VORONOI for t in ftexs),
+            has_one_minus=any(t.kind == FTexKind.ONE_MINUS for t in ftexs),
         )
 
         # Light table: every emissive triangle is one light with importance 1

@@ -122,11 +122,14 @@ class STexDesc:
 
 @dataclasses.dataclass
 class FTexDesc:
-    kind: str                  # constant | checker | voronoi
+    kind: str                  # constant | checker | voronoi | image
     value: float = 0.0
     v0: float = 0.0
     v1: float = 0.0
     cell_scale: float = 1.0
+    value_scale: float = 1.0
+    image: Optional[np.ndarray] = None
+    channel: str = "lum"       # image channel: lum | alpha
     mapping: MappingDesc = dataclasses.field(default_factory=MappingDesc)
 
 
@@ -358,6 +361,12 @@ class _Flattener:
         elif desc.kind == "checker":
             tid = b.add_ftex_checker(desc.v0, desc.v1, desc.mapping.scale,
                                      desc.mapping.offset)
+        elif desc.kind == "voronoi":
+            tid = b.add_ftex_voronoi(desc.cell_scale, desc.value_scale)
+        elif desc.kind == "image":
+            img_id = b.add_image(desc.image)
+            tid = b.add_ftex_image(img_id, desc.channel, 1.0,
+                                   desc.mapping.scale, desc.mapping.offset)
         else:
             raise ValueError(f"unknown ftex kind {desc.kind}")
         self._ftex_cache[key] = tid

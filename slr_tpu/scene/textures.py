@@ -270,24 +270,59 @@ def eval_stex(
     return eval_spectrum_texture(stex, tex_id, uv, wpos)
 
 
-def eval_float_texture(ftex: FloatTextures, tex_id: Array, uv: Array) -> Array:
-    """Evaluate float textures. tex_id: (R,) (-1 returns 0). Returns (R,)."""
-    tid = jnp.clip(tex_id, 0, ftex.kind.shape[0] - 1)
+def _eval_ftex_base(ftex: FloatTextures, tid: Array, uv: Array,
+                    images: Array | None, image_hw: Array | None,
+                    wpos: Array | None) -> Array:
+    """Evaluate the non-recursive float-texture kinds at table rows `tid`."""
     kind = ftex.kind[tid]
     tc = uv * ftex.map_scale[tid] + ftex.map_offset[tid]
 
-    out = ftex.value[tid]
+    out = ftex.value[tid]  # CONST
     sel = jnp.mod(
         (tc[..., 0] * 2).astype(jnp.int32) + (tc[..., 1] * 2).astype(jnp.int32), 2
     )
     checker = jnp.where(sel == 0, ftex.value[tid], ftex.value2[tid])
     out = jnp.where(kind == FTexKind.CHECKER, checker, out)
+    if ftex.has_image and images is not None and images.shape[0] > 0:
+        rgba = _image_fetch(images, image_hw, ftex.image_id[tid],
+                            tc[..., 0], tc[..., 1])
+        lum = (0.2126 * rgba[..., 0] + 0.7152 * rgba[..., 1]
+               + 0.0722 * rgba[..., 2])
+        chan = jnp.where(ftex.value2[tid] >= 3.0, rgba[..., 3], lum)
+        out = jnp.where(kind == FTexKind.IMAGE, chan * ftex.value[tid], out)
+    if ftex.has_voronoi:
+        p3 = (wpos if wpos is not None
+              else jnp.concatenate([tc, jnp.zeros_like(tc[..., :1])], axis=-1))
+        seed, _ = voronoi_cell_feature(p3, ftex.value2[tid])
+        _, f = _lcg_next(seed)
+        out = jnp.where(kind == FTexKind.VORONOI, f * ftex.value[tid], out)
+    return out
+
+
+def eval_float_texture(ftex: FloatTextures, tex_id: Array, uv: Array,
+                       images: Array | None = None,
+                       image_hw: Array | None = None,
+                       wpos: Array | None = None) -> Array:
+    """Evaluate float textures. tex_id: (R,) (-1 returns 0). Returns (R,).
+
+    Covers the reference FloatTexture variants (textures.h:54-80): constant,
+    image (luminance or alpha channel), checkerboard, Worley/voronoi, plus
+    the ONE_MINUS complement used by texture-lerped MixedSurfaceMaterial."""
+    tid = jnp.clip(tex_id, 0, ftex.kind.shape[0] - 1)
+    out = _eval_ftex_base(ftex, tid, uv, images, image_hw, wpos)
+    if ftex.has_one_minus:
+        src = jnp.clip(ftex.image_id[tid], 0, ftex.kind.shape[0] - 1)
+        inv = 1.0 - _eval_ftex_base(ftex, src, uv, images, image_hw, wpos)
+        out = jnp.where(ftex.kind[tid] == FTexKind.ONE_MINUS, inv, out)
     return jnp.where(tex_id >= 0, out, jnp.zeros_like(out))
 
 
-def eval_float_texture_default1(ftex: FloatTextures, tex_id: Array, uv: Array) -> Array:
+def eval_float_texture_default1(ftex: FloatTextures, tex_id: Array, uv: Array,
+                                images: Array | None = None,
+                                image_hw: Array | None = None,
+                                wpos: Array | None = None) -> Array:
     """Like eval_float_texture but -1 means 1.0 (lobe weight default)."""
-    v = eval_float_texture(ftex, tex_id, uv)
+    v = eval_float_texture(ftex, tex_id, uv, images, image_hw, wpos)
     return jnp.where(tex_id >= 0, v, jnp.ones_like(v))
 
 

@@ -55,9 +55,10 @@ class STexKind(enum.IntEnum):
 
 class FTexKind(enum.IntEnum):
     CONST = 0
-    IMAGE = 1      # luminance of image
+    IMAGE = 1      # image channel (value2 selects: 0 = luminance, 3 = alpha)
     CHECKER = 2
     VORONOI = 3
+    ONE_MINUS = 4  # 1 - eval(source); source ftex id stored in image_id
 
 
 class CameraKind(enum.IntEnum):
@@ -103,11 +104,16 @@ class SpectrumTextures(struct.PyTreeNode):
 
 class FloatTextures(struct.PyTreeNode):
     kind: Array       # (F,) int32 FTexKind
-    value: Array      # (F,)
-    value2: Array     # (F,)
-    image_id: Array   # (F,)
+    value: Array      # (F,) primary value / scale (IMAGE/VORONOI value scale)
+    value2: Array     # (F,) CHECKER value1 / IMAGE channel / VORONOI cell scale
+    image_id: Array   # (F,) image atlas id (IMAGE) or source ftex (ONE_MINUS)
     map_scale: Array  # (F, 2)
     map_offset: Array  # (F, 2)
+    # Static feature flags — absent kinds compile to nothing (remote XLA
+    # compiles are expensive; dead branches are not free).
+    has_image: bool = struct.field(pytree_node=False, default=False)
+    has_voronoi: bool = struct.field(pytree_node=False, default=False)
+    has_one_minus: bool = struct.field(pytree_node=False, default=False)
 
 
 class NTexKind(enum.IntEnum):
