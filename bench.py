@@ -33,8 +33,9 @@ def main() -> None:
     width, height, spp, max_depth = 512, 384, 4, 8
     scene = cornell_box_spheres(sphere_res=24, use_bvh=False)
 
-    # Warm-up / compile.
-    img = render(scene, width, height, spp=1, max_depth=max_depth)
+    # Warm-up / compile (spp=2 so the device-side film accumulation op is
+    # also compiled before timing).
+    img = render(scene, width, height, spp=2, max_depth=max_depth)
     img.block_until_ready()
 
     t0 = time.perf_counter()

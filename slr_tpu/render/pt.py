@@ -640,10 +640,13 @@ def render(
     batch = int(ray_batch or min(n_pix, 65536))
     n_batches = -(-n_pix // batch)
 
-    film = np.zeros((n_batches * batch, s_film), np.float32)
     w_j = jnp.int32(width)
     h_j = jnp.int32(height)
     seed_j = jnp.uint32(seed)
+    # Accumulate per batch ON DEVICE and transfer once at the end: a
+    # host sync per pass would serialize the tunnel round-trip into every
+    # dispatch (PathTracingRenderer's per-tile jobs have no such sync).
+    acc: list = [None] * n_batches
     for i in range(spp):
         for b in range(n_batches):
             pixel_id = jnp.arange(
@@ -653,7 +656,8 @@ def render(
             out = render_batch(
                 scene, pixel_id, sample_id, seed_j, w_j, h_j, max_depth
             )
-            film[b * batch:(b + 1) * batch] += np.asarray(out)
+            acc[b] = out if acc[b] is None else acc[b] + out
+    film = np.concatenate([np.asarray(a) for a in acc], axis=0)
     film = jnp.asarray(film[:n_pix]) / spp
     film = film.reshape(height, width, s_film)
     if spectral:
