@@ -31,7 +31,7 @@ def main() -> None:
     from slr_tpu.render.pt import render
 
     width, height, spp, max_depth = 512, 384, 4, 8
-    scene = cornell_box_spheres(sphere_res=24, use_bvh=False)
+    scene = cornell_box_spheres(sphere_res=24)
 
     # Warm-up / compile (spp=2 so the device-side film accumulation op is
     # also compiled before timing).

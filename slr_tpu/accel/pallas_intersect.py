@@ -1,27 +1,43 @@
-"""Pallas TPU closest-hit / any-hit kernels: fused Plücker intersection.
+"""Pallas TPU closest-hit / any-hit kernels: BVH-treelet-guided Plücker
+intersection with per-block culled worklists.
 
-The XLA version (accel/plucker.py) materializes (R, chunk) intermediates in
-HBM between the MXU products and the min-reduction — bandwidth-bound. These
-kernels fuse the whole per-chunk pipeline in VMEM: the grid is
-(ray_blocks, tri_chunks); triangle chunks stream through VMEM with automatic
-double buffering; each program does ONE MXU contraction that yields the three
-edge side-terms, n·d, and (d0 - n·o) together, then folds hit selection into
-per-ray-block accumulators that only touch HBM once.
+Round-1's kernel was a (ray_blocks x tri_chunks) grid: every ray block paid
+DMA + a VPU epilogue for every chunk, with only a whole-block AABB `pl.when`
+skip. This version makes traversal work proportional to what each ray block
+actually needs, the wavefront analogue of the reference's per-ray ordered
+stack traversal (libSLR/Accelerator/SBVH.h:417-442 / QBVH.h:295-339):
+
+* **chunks are BVH treelets**: the SBVH (native builder) is cut into subtrees
+  of <= C primitives, greedily packed in DFS order — spatially tight boxes,
+  front-to-back coherent ordering (Morton chunking remains the no-BVH
+  fallback);
+* **per-block worklists, built in XLA**: every ray is slab-tested against
+  every chunk AABB (vectorized, cheap), OR-reduced over the ray block, and
+  the surviving chunks sorted front-to-back by block-entry distance;
+* **scalar-prefetch + manual double-buffered DMA**: the kernel grid is 1-D
+  over ray blocks; each block loops over ONLY its worklist with
+  `lax.fori_loop`, streaming chunk tables HBM->VMEM with two buffers. A
+  chunk whose AABB no ray can hit closer than its current best is skipped
+  (ordered traversal early-out — effective because the worklist is sorted
+  near-to-far);
+* **wavefront compaction at block granularity**: callers pass an `active`
+  mask; inactive lanes get degenerate [+3e38, -3e38] t-ranges, so they
+  neither request chunks nor hold back the early-out. A fully-terminated ray
+  block costs one (skipped) grid step.
 
 Data layout (rays packed per call; triangles once at scene build):
   rays: (NB, 16, RB)  rows = [dx dy dz mx my mz ox oy oz 1 tmin tmax 0*4],
-                      m = o x d (ray Plücker moment, computed OUTSIDE the
-                      kernel so it isn't redone per triangle chunk)
+                      m = o x d (ray Plücker moment)
   tris: (NC, 16, 5C)  columns: [edge0 | edge1 | edge2 | n·d | d0 - n·o]
-                      edge cols carry the edge Plücker 6-vector in rows 0-5;
-                      the n·d col carries n in rows 0-2; the num col carries
-                      -n in rows 6-8 and d0 in row 9.
-  valid: (NC, 1, C)   1.0 / 0.0
+  boxes: (NC, 8) f32  [lo.xyz | hi.xyz | nonempty | pad] (scalar-prefetched)
   outputs: best_t (NB, RB) f32, best_idx (NB, RB) i32 — or occluded i32.
+
+Padding slots carry all-zero rows, so den = n·d = 0 and the |den| > 1e-12
+test rejects them — no separate validity mask is needed.
 
 Reference for the intersection predicate: Triangle::intersect
 (Möller-Trumbore, TriangleMesh.cpp:131-178) — reformulated as Plücker side
-tests so the inner loop is a matrix product on the 128x128 systolic array.
+tests so the inner loop is one matrix product on the 128x128 systolic array.
 Barycentrics for the winning triangle are recovered afterwards with one
 Möller-Trumbore evaluation per ray (exact, outside the kernel).
 """
@@ -34,137 +50,37 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from ..core.math3d import Array
 from ..scene.types import Geometry
 from .intersect import Hit, RAY_EPSILON, moller_trumbore
 
-RB = 256          # default rays per program instance (tunable per call)
-DEFAULT_CHUNK = 512
-ROWS = 16         # packed ray rows (sublane-aligned)
+RB = 256           # default rays per program instance (tunable per call)
+DEFAULT_CHUNK = 128
+ROWS = 16          # packed ray rows (sublane-aligned)
+T_FAR = 3e38       # finite stand-in for +inf (inf breaks slab arithmetic)
 
 
-def _contract(rays16, tris_ref, chunk: int):
-    """(RB, 5C) = rays16^T @ tris — side terms, n·d, and num in one MXU op."""
-    acc = jax.lax.dot_general(
-        rays16, tris_ref[0], (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    s0 = acc[:, 0:chunk]
-    s1 = acc[:, chunk:2 * chunk]
-    s2 = acc[:, 2 * chunk:3 * chunk]
-    den = acc[:, 3 * chunk:4 * chunk]    # n·d
-    num = acc[:, 4 * chunk:5 * chunk]    # d0 - n·o  (= t * den)
-    through = ((s0 >= 0) & (s1 >= 0) & (s2 >= 0)) | (
-        (s0 <= 0) & (s1 <= 0) & (s2 <= 0)
-    )
-    return through, den, num
-
-
-def _block_hits_box(rays16, box, upper):
-    """True if ANY ray in the block can hit the chunk AABB closer than its
-    current upper bound (slab test over the whole block — ~30 VPU ops on
-    (rb,) vectors, vs ~10^5 for the full chunk pipeline it can skip)."""
-    o = rays16[6:9, :]
-    d = rays16[0:3, :]
-    tmin = rays16[10, :]
-    inv = 1.0 / jnp.where(jnp.abs(d) < 1e-20,
-                          jnp.where(d >= 0, 1e-20, -1e-20), d)
-    tn = jnp.full_like(tmin, -jnp.inf)
-    tf = jnp.full_like(tmin, jnp.inf)
-    for axis in range(3):
-        t0 = (box[axis] - o[axis]) * inv[axis]
-        t1 = (box[3 + axis] - o[axis]) * inv[axis]
-        tn = jnp.maximum(tn, jnp.minimum(t0, t1))
-        tf = jnp.minimum(tf, jnp.maximum(t0, t1))
-    ok = (tn <= tf) & (tf >= tmin) & (tn <= upper)
-    return jnp.any(ok) & (box[6] > 0.5)
-
-
-def _kernel(rays_ref, tris_ref, valid_ref, boxes_ref, t_ref, idx_ref,
-            *, chunk: int, rb: int):
-    j = pl.program_id(1)
-    rays16 = rays_ref[0]          # (16, RB)
-    tmin = rays16[10, :]
-    tmax = rays16[11, :]
-
-    @pl.when(j == 0)
-    def _init():
-        t_ref[0, 0, :] = tmax
-        idx_ref[0, 0, :] = jnp.full((rb,), -1, jnp.int32)
-
-    box = boxes_ref[0][0]
-
-    @pl.when(_block_hits_box(rays16, box, t_ref[0, 0, :]))
-    def _chunk():
-        through, den, num = _contract(rays16, tris_ref, chunk)
-        denom_ok = jnp.abs(den) > 1e-12
-        t = num / jnp.where(denom_ok, den, 1.0)
-
-        best_col = t_ref[0, 0, :][:, None]
-        hit = (
-            through
-            & denom_ok
-            & (valid_ref[0][0:1, :] > 0.5)
-            & (t >= tmin[:, None])
-            & (t < best_col)
-        )
-        t_hit = jnp.where(hit, t, jnp.inf)
-        t_min = jnp.min(t_hit, axis=1)       # (RB,)
-        a_min = jnp.argmin(t_hit, axis=1).astype(jnp.int32)
-        closer = t_min < t_ref[0, 0, :]
-        t_ref[0, 0, :] = jnp.where(closer, t_min, t_ref[0, 0, :])
-        idx_ref[0, 0, :] = jnp.where(
-            closer, j * chunk + a_min, idx_ref[0, 0, :]
-        )
-
-
-def _kernel_any(rays_ref, tris_ref, valid_ref, boxes_ref, hit_ref,
-                *, chunk: int, rb: int):
-    """Any-hit (shadow) variant: no argmin, no division. A triangle occludes
-    iff t = num/den lies in [tmin, tmax], tested as sign conditions on
-    (num - tmin*den)·(num - tmax*den) — fmas instead of a divide."""
-    j = pl.program_id(1)
-    rays16 = rays_ref[0]
-    tmin = rays16[10, :]
-    tmax = rays16[11, :]
-
-    @pl.when(j == 0)
-    def _init():
-        hit_ref[0, 0, :] = jnp.zeros((rb,), jnp.int32)
-
-    box = boxes_ref[0][0]
-
-    @pl.when(_block_hits_box(rays16, box, tmax))
-    def _chunk():
-        through, den, num = _contract(rays16, tris_ref, chunk)
-        lo = num - tmin[:, None] * den       # den * (t - tmin)
-        hi = num - tmax[:, None] * den
-        in_range = (lo * hi <= 0) & (jnp.abs(den) > 1e-12)
-        occluded = through & in_range & (valid_ref[0][0:1, :] > 0.5)
-        any_hit = jnp.any(occluded, axis=1).astype(jnp.int32)
-        hit_ref[0, 0, :] = hit_ref[0, 0, :] | any_hit
-
+# ---------------------------------------------------------------------------
+# Chunk tables
+# ---------------------------------------------------------------------------
 
 class PallasTris(NamedTuple):
     """Triangle tables in kernel layout (pytree; host-built, device-resident).
-    chunk / n_chunks are derived statically from shapes.
 
-    Triangles are MORTON-ORDERED so each chunk is spatially tight; `boxes`
-    carries the chunk AABB (lanes 0-5 = lo/hi, lane 6 = nonempty flag) and
-    the kernels skip a chunk's whole pipeline when no ray in the block can
-    hit its box — the wavefront analogue of BVH early-out for coherent ray
-    blocks. `remap` maps kernel slots back to original triangle ids."""
+    tris:  (NC, 16, 5C) Plücker chunk tables (see module docstring)
+    boxes: (NC, 8) f32 chunk AABB + nonempty flag, scalar-prefetched to SMEM
+    remap: (NC*C,) int32 kernel slot -> original triangle id
+    """
 
-    tris: Array     # (NC, 16, 5C)
-    valid: Array    # (NC, 1, C)
-    boxes: Array    # (NC, 1, 128) chunk AABB + flag
-    remap: Array    # (NC*C,) int32 slot -> original triangle id
+    tris: Array
+    boxes: Array
+    remap: Array
 
     @property
     def chunk(self) -> int:
-        return self.valid.shape[-1]
+        return self.tris.shape[-1] // 5
 
     @property
     def n_chunks(self) -> int:
@@ -188,19 +104,102 @@ def _morton_order(cent: np.ndarray) -> np.ndarray:
     return np.argsort(code, kind="stable").astype(np.int32)
 
 
-def build_pallas_tris(geom: Geometry, chunk: int = DEFAULT_CHUNK) -> PallasTris:
+def _bvh_chunk_order(bvh, chunk: int) -> list[np.ndarray]:
+    """Cut the BVH into DFS-ordered treelet pieces of <= chunk prims, then
+    greedily pack consecutive pieces into chunks. Returns a list of arrays of
+    *triangle ids* (prim_order already applied). Works for SBVH trees with
+    duplicated references (spatial splits)."""
+    left = np.asarray(bvh.node_left)
+    right = np.asarray(bvh.node_right)
+    prim_order = np.asarray(bvh.prim_order)
+    n_nodes = len(left)
+
+    # Subtree reference counts; children are allocated after their parent in
+    # both builders, so a reverse id sweep sees children before parents.
+    count = np.zeros(n_nodes, np.int64)
+    for nid in range(n_nodes - 1, -1, -1):
+        l, r = left[nid], right[nid]
+        count[nid] = (1 if l < 0 else count[l]) + (1 if r < 0 else count[r])
+
+    def collect(ptr) -> list[int]:
+        out: list[int] = []
+        st = [ptr]
+        while st:
+            p = st.pop()
+            if p < 0:
+                out.append(-p - 1)
+            else:
+                st.append(right[p])
+                st.append(left[p])
+        return out
+
+    pieces: list[list[int]] = []
+    stack = [0]
+    while stack:
+        ptr = stack.pop()
+        if ptr < 0:
+            pieces.append([-ptr - 1])
+        elif count[ptr] <= chunk:
+            pieces.append(collect(ptr))
+        else:
+            stack.append(right[ptr])
+            stack.append(left[ptr])
+
+    chunks: list[np.ndarray] = []
+    cur: list[int] = []
+    for piece in pieces:
+        if cur and len(cur) + len(piece) > chunk:
+            chunks.append(prim_order[np.asarray(cur, np.int64)])
+            cur = []
+        cur.extend(piece)
+    if cur:
+        chunks.append(prim_order[np.asarray(cur, np.int64)])
+    return chunks
+
+
+def build_pallas_tris(geom: Geometry, chunk: int = DEFAULT_CHUNK,
+                      bvh=None) -> PallasTris:
+    """Build the kernel chunk tables. With a BVH, chunks are packed treelets
+    (spatially tight, DFS/front-to-back ordered); otherwise Morton slices."""
     pos = np.asarray(geom.positions)
     tri = np.asarray(geom.tri_vidx)
-    p0, p1, p2 = pos[tri[:, 0]], pos[tri[:, 1]], pos[tri[:, 2]]
     t = len(tri)
-    # Spatial (Morton) ordering so chunks are compact in space.
-    if t > 1:
-        order = _morton_order((p0 + p1 + p2) / 3.0)
+
+    if bvh is not None and t >= 2:
+        chunk_tris = _bvh_chunk_order(bvh, chunk)
     else:
-        order = np.zeros((1,), np.int32)
-    p0, p1, p2 = p0[order], p1[order], p2[order]
-    nc = max(-(-t // chunk), 1)
-    pad = nc * chunk - t
+        if t > 1:
+            p0c = pos[tri[:, 0]]
+            p1c = pos[tri[:, 1]]
+            p2c = pos[tri[:, 2]]
+            order = _morton_order((p0c + p1c + p2c) / 3.0)
+        else:
+            order = np.zeros((max(t, 1),), np.int32)
+        chunk_tris = [order[i:i + chunk] for i in range(0, max(t, 1), chunk)]
+
+    nc = len(chunk_tris)
+    slot_tri = np.zeros((nc, chunk), np.int64)        # padded tri ids
+    slot_valid = np.zeros((nc, chunk), bool)
+    boxes = np.zeros((nc, 8), np.float32)
+    for c, ids in enumerate(chunk_tris):
+        k = len(ids)
+        slot_tri[c, :k] = ids
+        slot_valid[c, :k] = True
+        pts = pos[tri[ids].reshape(-1)]
+        if k:
+            boxes[c, 0:3] = pts.min(axis=0)
+            boxes[c, 3:6] = pts.max(axis=0)
+            boxes[c, 6] = 1.0
+
+    flat_tri = slot_tri.reshape(-1)
+    p0 = pos[tri[flat_tri, 0]]
+    p1 = pos[tri[flat_tri, 1]]
+    p2 = pos[tri[flat_tri, 2]]
+    v = slot_valid.reshape(-1)
+    # Padding slots: zero geometry => n·d = 0 => rejected by the denom test.
+    p0[~v] = 0.0
+    p1[~v] = 0.0
+    p2[~v] = 0.0
 
     def edge6(a, b):
         return np.concatenate([np.cross(a, b), b - a], axis=-1)
@@ -208,17 +207,7 @@ def build_pallas_tris(geom: Geometry, chunk: int = DEFAULT_CHUNK) -> PallasTris:
     e = np.stack([edge6(p0, p1), edge6(p1, p2), edge6(p2, p0)], axis=1)
     n = np.cross(p1 - p0, p2 - p0)
     d0 = np.einsum("ij,ij->i", n, p0)
-    valid = np.ones((t,), np.float32)
-    remap = order.astype(np.int32)
-    if pad:
-        e = np.concatenate([e, np.zeros((pad, 3, 6), e.dtype)])
-        n = np.concatenate([n, np.zeros((pad, 3), n.dtype)])
-        d0 = np.concatenate([d0, np.zeros((pad,), d0.dtype)])
-        valid = np.concatenate([valid, np.zeros((pad,), np.float32)])
-        p0 = np.concatenate([p0, np.zeros((pad, 3), p0.dtype)])
-        p1 = np.concatenate([p1, np.zeros((pad, 3), p1.dtype)])
-        p2 = np.concatenate([p2, np.zeros((pad, 3), p2.dtype)])
-        remap = np.concatenate([remap, np.zeros((pad,), np.int32)])
+
     tt = nc * chunk
     tris = np.zeros((tt, ROWS, 5), np.float32)
     tris[:, 0:6, 0] = e[:, 0]       # edge0 Plücker
@@ -227,78 +216,285 @@ def build_pallas_tris(geom: Geometry, chunk: int = DEFAULT_CHUNK) -> PallasTris:
     tris[:, 0:3, 3] = n             # n·d column
     tris[:, 6:9, 4] = -n            # num column: -n·o ...
     tris[:, 9, 4] = d0              # ... + d0 * 1
-    # (tt, 16, 5) -> (nc, 16, 5C) with column = col*C + tri
+    # (tt, 16, 5) -> (nc, 16, 5C) with column = col*C + slot
     tris = tris.reshape(nc, chunk, ROWS, 5).transpose(0, 2, 3, 1).reshape(
         nc, ROWS, 5 * chunk
     )
-    # Per-chunk AABBs over the valid prefix of each chunk.
-    boxes = np.zeros((nc, 1, 128), np.float32)
-    vmask = valid.reshape(nc, chunk) > 0
-    allp = np.stack([p0, p1, p2], axis=1).reshape(nc, chunk, 3, 3)
-    for c in range(nc):
-        m = vmask[c]
-        if m.any():
-            pts = allp[c][m].reshape(-1, 3)
-            boxes[c, 0, 0:3] = pts.min(axis=0)
-            boxes[c, 0, 3:6] = pts.max(axis=0)
-            boxes[c, 0, 6] = 1.0
+    remap = np.where(v, flat_tri, -1).astype(np.int32)
     return PallasTris(
         tris=jnp.asarray(tris),
-        valid=jnp.asarray(valid.reshape(nc, 1, chunk)),
         boxes=jnp.asarray(boxes),
         remap=jnp.asarray(remap),
     )
 
 
+# ---------------------------------------------------------------------------
+# Worklist construction (plain XLA, runs inside the caller's jit)
+# ---------------------------------------------------------------------------
+
+def _chunk_worklist(rays: Array, boxes: Array) -> tuple[Array, Array]:
+    """Per-block culled, front-to-back ordered chunk worklists.
+
+    rays (NB, 16, RB) packed; boxes (NC, 8). Returns (worklist (NB*NC,) i32,
+    count (NB,) i32). Entries past `count` repeat the last valid chunk so the
+    kernel's repeated index never triggers a fresh DMA."""
+    nb, _, rb = rays.shape
+    nc = boxes.shape[0]
+    o = rays[:, 6:9, :]
+    d = rays[:, 0:3, :]
+    tminr = rays[:, 10, :]
+    tmaxr = rays[:, 11, :]
+    inv = 1.0 / jnp.where(jnp.abs(d) < 1e-20,
+                          jnp.where(d >= 0, 1e-20, -1e-20), d)
+    tn = jnp.full((nb, rb, nc), -T_FAR, jnp.float32)
+    tf = jnp.full((nb, rb, nc), T_FAR, jnp.float32)
+    for a in range(3):
+        lo = boxes[:, a][None, None, :]
+        hi = boxes[:, 3 + a][None, None, :]
+        t0 = (lo - o[:, a, :, None]) * inv[:, a, :, None]
+        t1 = (hi - o[:, a, :, None]) * inv[:, a, :, None]
+        tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+        tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+    ok = (
+        (tn <= tf)
+        & (tf >= tminr[:, :, None])
+        & (tn <= tmaxr[:, :, None])
+        & (boxes[:, 6][None, None, :] > 0.5)
+    )
+    blk = jnp.any(ok, axis=1)                              # (NB, NC)
+    tn_blk = jnp.min(jnp.where(ok, tn, T_FAR), axis=1)     # (NB, NC)
+    key = jnp.where(blk, tn_blk, jnp.inf)
+    order = jnp.argsort(key, axis=1).astype(jnp.int32)
+    count = jnp.sum(blk, axis=1).astype(jnp.int32)
+    last = jnp.take_along_axis(
+        order, jnp.maximum(count - 1, 0)[:, None], axis=1
+    )
+    wl = jnp.where(jnp.arange(nc, dtype=jnp.int32)[None, :] < count[:, None],
+                   order, last)
+    return wl.reshape(-1), count
+
+
+# ---------------------------------------------------------------------------
+# Kernels
+# ---------------------------------------------------------------------------
+
+def _contract(rays16, tris16, chunk: int):
+    """(RB, 5C) = rays16^T @ tris — side terms, n·d, and num in one MXU op."""
+    acc = jax.lax.dot_general(
+        rays16, tris16, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    s0 = acc[:, 0:chunk]
+    s1 = acc[:, chunk:2 * chunk]
+    s2 = acc[:, 2 * chunk:3 * chunk]
+    den = acc[:, 3 * chunk:4 * chunk]    # n·d
+    num = acc[:, 4 * chunk:5 * chunk]    # d0 - n·o  (= t * den)
+    through = ((s0 >= 0) & (s1 >= 0) & (s2 >= 0)) | (
+        (s0 <= 0) & (s1 <= 0) & (s2 <= 0)
+    )
+    return through, den, num
+
+
+def _block_hits_box(rays16, boxes_ref, c, upper, enable=None):
+    """True if ANY (enabled) ray in the block can hit chunk c's AABB closer
+    than its per-ray `upper` bound. Box bounds come from prefetched SMEM
+    scalars; ~30 VPU ops on (rb,) vectors vs ~10^5 for the chunk pipeline."""
+    d0, d1, d2 = rays16[0, :], rays16[1, :], rays16[2, :]
+    o = (rays16[6, :], rays16[7, :], rays16[8, :])
+    tmin = rays16[10, :]
+    tn = jnp.full_like(tmin, -T_FAR)
+    tf = jnp.full_like(tmin, T_FAR)
+    for axis, dd in enumerate((d0, d1, d2)):
+        inv = 1.0 / jnp.where(jnp.abs(dd) < 1e-20,
+                              jnp.where(dd >= 0, 1e-20, -1e-20), dd)
+        t0 = (boxes_ref[c, axis] - o[axis]) * inv
+        t1 = (boxes_ref[c, 3 + axis] - o[axis]) * inv
+        tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+        tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+    ok = (tn <= tf) & (tf >= tmin) & (tn <= upper)
+    if enable is not None:
+        ok = ok & enable
+    return jnp.any(ok)
+
+
+def _kernel(wl_ref, cnt_ref, boxes_ref, rays_ref, tris_hbm, t_ref, idx_ref,
+            buf, sem, *, chunk: int, rb: int, ncap: int):
+    i = pl.program_id(0)
+    rays16 = rays_ref[0]          # (16, RB)
+    tmin = rays16[10, :]
+    tmax = rays16[11, :]
+    t_ref[0, 0, :] = tmax
+    idx_ref[0, 0, :] = jnp.full((rb,), -1, jnp.int32)
+    n = cnt_ref[i]
+    base = i * ncap
+
+    def dma(slot, k):
+        c = wl_ref[base + k]
+        return pltpu.make_async_copy(tris_hbm.at[c], buf.at[slot],
+                                     sem.at[slot])
+
+    @pl.when(n > 0)
+    def _traverse():
+        dma(0, 0).start()
+
+        def body(k, _):
+            slot = jax.lax.rem(k, 2)
+
+            @pl.when(k + 1 < n)
+            def _prefetch():
+                dma(1 - slot, k + 1).start()
+
+            dma(slot, k).wait()
+            c = wl_ref[base + k]
+
+            @pl.when(_block_hits_box(rays16, boxes_ref, c, t_ref[0, 0, :]))
+            def _chunk():
+                tris16 = buf[pl.ds(slot, 1)][0]
+                through, den, num = _contract(rays16, tris16, chunk)
+                denom_ok = jnp.abs(den) > 1e-12
+                t = num / jnp.where(denom_ok, den, 1.0)
+
+                best_col = t_ref[0, 0, :][:, None]
+                hit = (
+                    through
+                    & denom_ok
+                    & (t >= tmin[:, None])
+                    & (t < best_col)
+                )
+                t_hit = jnp.where(hit, t, jnp.inf)
+                t_min = jnp.min(t_hit, axis=1)       # (RB,)
+                a_min = jnp.argmin(t_hit, axis=1).astype(jnp.int32)
+                closer = t_min < t_ref[0, 0, :]
+                t_ref[0, 0, :] = jnp.where(closer, t_min, t_ref[0, 0, :])
+                idx_ref[0, 0, :] = jnp.where(
+                    closer, c * chunk + a_min, idx_ref[0, 0, :]
+                )
+            return 0
+
+        jax.lax.fori_loop(0, n, body, 0)
+
+
+def _kernel_any(wl_ref, cnt_ref, boxes_ref, rays_ref, tris_hbm, hit_ref,
+                buf, sem, *, chunk: int, rb: int, ncap: int):
+    """Any-hit (shadow) variant: no argmin, no division. A triangle occludes
+    iff t = num/den lies in [tmin, tmax], tested as sign conditions on
+    (num - tmin*den)·(num - tmax*den) — fmas instead of a divide. Once every
+    live ray is occluded the remaining worklist is skipped."""
+    i = pl.program_id(0)
+    rays16 = rays_ref[0]
+    tmin = rays16[10, :]
+    tmax = rays16[11, :]
+    live = tmax >= tmin                        # lanes with a real query
+    hit_ref[0, 0, :] = jnp.zeros((rb,), jnp.int32)
+    n = cnt_ref[i]
+    base = i * ncap
+
+    def dma(slot, k):
+        c = wl_ref[base + k]
+        return pltpu.make_async_copy(tris_hbm.at[c], buf.at[slot],
+                                     sem.at[slot])
+
+    @pl.when(n > 0)
+    def _traverse():
+        dma(0, 0).start()
+
+        def body(k, _):
+            slot = jax.lax.rem(k, 2)
+
+            @pl.when(k + 1 < n)
+            def _prefetch():
+                dma(1 - slot, k + 1).start()
+
+            dma(slot, k).wait()
+            c = wl_ref[base + k]
+            open_ray = live & (hit_ref[0, 0, :] == 0)
+
+            @pl.when(_block_hits_box(rays16, boxes_ref, c, tmax,
+                                     enable=open_ray))
+            def _chunk():
+                tris16 = buf[pl.ds(slot, 1)][0]
+                through, den, num = _contract(rays16, tris16, chunk)
+                lo = num - tmin[:, None] * den       # den * (t - tmin)
+                hi = num - tmax[:, None] * den
+                in_range = (lo * hi <= 0) & (jnp.abs(den) > 1e-12)
+                # The live guard protects against the multiply-form test
+                # degenerating on inactive lanes' inverted [T_FAR, -T_FAR]
+                # range. Formed 2-D from f32 (Mosaic can't insert a minor
+                # dim on an i1 vector).
+                occluded = through & in_range & (
+                    tmax[:, None] >= tmin[:, None]
+                )
+                any_hit = jnp.any(occluded, axis=1).astype(jnp.int32)
+                hit_ref[0, 0, :] = hit_ref[0, 0, :] | any_hit
+            return 0
+
+        jax.lax.fori_loop(0, n, body, 0)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("chunk", "n_chunks", "rb", "interpret"))
-def _run_kernel(rays, tris, valid, boxes, chunk, n_chunks, rb=RB,
+def _run_kernel(wl, cnt, boxes, rays, tris, chunk, n_chunks, rb=RB,
                 interpret=False):
     nb = rays.shape[0]
-    grid = (nb, n_chunks)
-    kernel = functools.partial(_kernel, chunk=chunk, rb=rb)
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
+    kernel = functools.partial(_kernel, chunk=chunk, rb=rb, ncap=n_chunks)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nb,),
         in_specs=[
-            pl.BlockSpec((1, ROWS, rb), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, ROWS, 5 * chunk), lambda i, j: (j, 0, 0)),
-            pl.BlockSpec((1, 1, chunk), lambda i, j: (j, 0, 0)),
-            pl.BlockSpec((1, 1, 128), lambda i, j: (j, 0, 0)),
+            pl.BlockSpec((1, ROWS, rb), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, rb), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, 1, rb), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, 1, rb), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, 1, rb), lambda i, *_: (i, 0, 0)),
         ],
+        scratch_shapes=[
+            pltpu.VMEM((2, ROWS, 5 * chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((nb, 1, rb), jnp.float32),
             jax.ShapeDtypeStruct((nb, 1, rb), jnp.int32),
         ],
         interpret=interpret,
-    )(rays, tris, valid, boxes)
+    )(wl, cnt, boxes, rays, tris)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("chunk", "n_chunks", "rb", "interpret"))
-def _run_kernel_any(rays, tris, valid, boxes, chunk, n_chunks, rb=RB,
+def _run_kernel_any(wl, cnt, boxes, rays, tris, chunk, n_chunks, rb=RB,
                     interpret=False):
     nb = rays.shape[0]
-    grid = (nb, n_chunks)
-    kernel = functools.partial(_kernel_any, chunk=chunk, rb=rb)
+    kernel = functools.partial(_kernel_any, chunk=chunk, rb=rb, ncap=n_chunks)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, ROWS, rb), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[pl.BlockSpec((1, 1, rb), lambda i, *_: (i, 0, 0))],
+        scratch_shapes=[
+            pltpu.VMEM((2, ROWS, 5 * chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
     return pl.pallas_call(
         kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, ROWS, rb), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, ROWS, 5 * chunk), lambda i, j: (j, 0, 0)),
-            pl.BlockSpec((1, 1, chunk), lambda i, j: (j, 0, 0)),
-            pl.BlockSpec((1, 1, 128), lambda i, j: (j, 0, 0)),
-        ],
-        out_specs=[pl.BlockSpec((1, 1, rb), lambda i, j: (i, 0, 0))],
+        grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((nb, 1, rb), jnp.int32)],
         interpret=interpret,
-    )(rays, tris, valid, boxes)
+    )(wl, cnt, boxes, rays, tris)
 
+
+# ---------------------------------------------------------------------------
+# Host-facing entry points
+# ---------------------------------------------------------------------------
 
 def _pack_rays(o, d, tmin_a, tmax_a, rb=RB):
     """(R, 3)x2 + (R,)x2 -> (NB, 16, rb) with the Plücker moment m = o x d
@@ -313,9 +509,27 @@ def _pack_rays(o, d, tmin_a, tmax_a, rb=RB):
         [d, m, o, ones, tmin_a[:, None], tmax_a[:, None], zeros], axis=1
     )  # (R, 16)
     if pad:
-        filler = jnp.zeros((pad, ROWS), jnp.float32).at[:, 2].set(1.0)
+        # Padding lanes are inert: degenerate [T_FAR, -T_FAR] range.
+        filler = (
+            jnp.zeros((pad, ROWS), jnp.float32)
+            .at[:, 2].set(1.0)
+            .at[:, 10].set(T_FAR)
+            .at[:, 11].set(-T_FAR)
+        )
         rays = jnp.concatenate([rays, filler], axis=0)
     return rays.reshape(nb, rb, ROWS).transpose(0, 2, 1), nb
+
+
+def _ray_ranges(r, tmin, tmax, active):
+    """Broadcast per-ray [tmin, tmax]; inactive lanes get a degenerate range
+    so they opt out of culling, traversal, and the early-out."""
+    tmin_a = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (r,))
+    tmax_a = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (r,))
+    tmax_a = jnp.minimum(tmax_a, T_FAR)
+    if active is not None:
+        tmin_a = jnp.where(active, tmin_a, T_FAR)
+        tmax_a = jnp.where(active, tmax_a, -T_FAR)
+    return tmin_a, tmax_a
 
 
 def anyhit_pallas(
@@ -325,6 +539,7 @@ def anyhit_pallas(
     d: Array,
     tmin: Array | float = RAY_EPSILON,
     tmax: Array | float = jnp.inf,
+    active: Array | None = None,
     interpret: bool = False,
     rb: int = RB,
 ) -> Array:
@@ -332,14 +547,11 @@ def anyhit_pallas(
     The shadow-ray path of Scene::testVisibility — cheaper than closest-hit
     (no per-triangle divide, no argmin)."""
     r = o.shape[0]
-    tmin_a = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (r,))
-    tmax_a = jnp.broadcast_to(
-        jnp.where(jnp.isinf(jnp.asarray(tmax, jnp.float32)), 3e38,
-                  jnp.asarray(tmax, jnp.float32)), (r,)
-    )
+    tmin_a, tmax_a = _ray_ranges(r, tmin, tmax, active)
     rays, _ = _pack_rays(o, d, tmin_a, tmax_a, rb)
+    wl, cnt = _chunk_worklist(rays, pt.boxes)
     (hit,) = _run_kernel_any(
-        rays, pt.tris, pt.valid, pt.boxes, pt.chunk, pt.n_chunks, rb=rb,
+        wl, cnt, pt.boxes, rays, pt.tris, pt.chunk, pt.n_chunks, rb=rb,
         interpret=interpret,
     )
     return hit.reshape(-1)[:r] > 0
@@ -352,26 +564,24 @@ def intersect_pallas(
     d: Array,
     tmin: Array | float = RAY_EPSILON,
     tmax: Array | float = jnp.inf,
+    active: Array | None = None,
     interpret: bool = False,
     rb: int = RB,
 ) -> Hit:
-    """Closest hit via the fused kernel. o/d: (R, 3)."""
+    """Closest hit via the worklist kernel. o/d: (R, 3)."""
     r = o.shape[0]
-    tmin_a = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (r,))
-    tmax_a = jnp.broadcast_to(
-        jnp.where(jnp.isinf(jnp.asarray(tmax, jnp.float32)), 3e38,
-                  jnp.asarray(tmax, jnp.float32)), (r,)
-    )
+    tmin_a, tmax_a = _ray_ranges(r, tmin, tmax, active)
     rays, _ = _pack_rays(o, d, tmin_a, tmax_a, rb)
+    wl, cnt = _chunk_worklist(rays, pt.boxes)
 
     best_t, best_idx = _run_kernel(
-        rays, pt.tris, pt.valid, pt.boxes, pt.chunk, pt.n_chunks, rb=rb,
+        wl, cnt, pt.boxes, rays, pt.tris, pt.chunk, pt.n_chunks, rb=rb,
         interpret=interpret,
     )
     best_t = best_t.reshape(-1)[:r]
     slot = best_idx.reshape(-1)[:r]
     tri = jnp.where(slot >= 0, pt.remap[jnp.maximum(slot, 0)], -1)
-    mask = (tri >= 0) & (best_t < 3e38) & (best_t < tmax_a * (1.0 + 1e-6))
+    mask = (tri >= 0) & (best_t < T_FAR) & (best_t < tmax_a * (1.0 + 1e-6))
 
     tri_c = jnp.maximum(tri, 0)
     vidx = geom.tri_vidx[tri_c]

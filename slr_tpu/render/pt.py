@@ -56,8 +56,8 @@ from ..spectrum.rgb import importance
 
 
 def scene_intersect(scene: FlatScene, o: Array, d: Array,
-                    tmin=RAY_EPSILON, tmax=jnp.inf, f: Array | None = None
-                    ) -> Hit:
+                    tmin=RAY_EPSILON, tmax=jnp.inf, f: Array | None = None,
+                    active: Array | None = None) -> Hit:
     """Accelerator dispatch (static pytree structure): the fused Pallas
     Plücker kernel on TPU, the XLA Plücker path elsewhere; BVH / scan-brute
     remain available for validation and very large scenes.
@@ -80,7 +80,8 @@ def scene_intersect(scene: FlatScene, o: Array, d: Array,
     ):
         from ..accel.pallas_intersect import intersect_pallas
 
-        hit = intersect_pallas(geom, scene.pallas_tris, o, d, tmin, tmax)
+        hit = intersect_pallas(geom, scene.pallas_tris, o, d, tmin, tmax,
+                               active=active)
     elif scene.plucker is not None:
         from ..accel.plucker import intersect_plucker
 
@@ -112,11 +113,12 @@ def scene_intersect(scene: FlatScene, o: Array, d: Array,
 
 def scene_intersect_alpha(scene: FlatScene, o: Array, d: Array,
                           tmin=RAY_EPSILON, tmax=jnp.inf,
-                          max_recasts: int = 4, f: Array | None = None) -> Hit:
+                          max_recasts: int = 4, f: Array | None = None,
+                          active: Array | None = None) -> Hit:
     """Closest hit honoring alpha-cutout textures (Triangle::intersect alpha
     test, TriangleMesh.cpp:163-168): hits whose alpha texture evaluates to 0
     are skipped by re-casting past them (bounded number of rounds)."""
-    hit = scene_intersect(scene, o, d, tmin, tmax, f)
+    hit = scene_intersect(scene, o, d, tmin, tmax, f, active=active)
     if not scene.has_alpha:
         return hit
     from ..scene.textures import eval_float_texture
@@ -138,7 +140,7 @@ def scene_intersect_alpha(scene: FlatScene, o: Array, d: Array,
     for _ in range(max_recasts):
         cut = alpha_zero(hit)
         tmin_b = jnp.where(cut, hit.t + RAY_EPSILON, tmin_b)
-        rehit = scene_intersect(scene, o, d, tmin_b, tmax, f)
+        rehit = scene_intersect(scene, o, d, tmin_b, tmax, f, active=cut)
         hit = Hit(
             t=jnp.where(cut, rehit.t, hit.t),
             tri=jnp.where(cut, rehit.tri, hit.tri),
@@ -198,19 +200,22 @@ def resolve_sp(scene: FlatScene, hit: Hit, o: Array, d: Array,
 
 
 def scene_occluded(scene: FlatScene, o: Array, d: Array, tmin, tmax,
-                   f: Array | None = None) -> Array:
+                   f: Array | None = None, active: Array | None = None
+                   ) -> Array:
     """Occlusion-only query (bool per ray). Uses the cheap any-hit Pallas
     kernel when applicable; alpha-cutout scenes need the closest-hit + recast
     path so a fully cut-out surface doesn't cast a shadow."""
     if scene.has_alpha:
-        return scene_intersect_alpha(scene, o, d, tmin, tmax, f=f).mask
+        return scene_intersect_alpha(scene, o, d, tmin, tmax, f=f,
+                                     active=active).mask
     occ = None
     if scene.pallas_tris is not None and jax.default_backend() not in (
         "cpu", "gpu"
     ):
         from ..accel.pallas_intersect import anyhit_pallas
 
-        occ = anyhit_pallas(scene.geometry, scene.pallas_tris, o, d, tmin, tmax)
+        occ = anyhit_pallas(scene.geometry, scene.pallas_tris, o, d, tmin,
+                            tmax, active=active)
     if occ is None:
         return scene_intersect(scene, o, d, tmin, tmax, f).mask
     if scene.instances is not None:
@@ -224,14 +229,16 @@ def scene_occluded(scene: FlatScene, o: Array, d: Array, tmin, tmax,
 
 
 def test_visibility(scene: FlatScene, p_from: Array, p_to: Array,
-                    f: Array | None = None) -> Array:
+                    f: Array | None = None, active: Array | None = None
+                    ) -> Array:
     """Shadow test (Scene::testVisibility, SurfaceObject.cpp:417-429).
     Returns True when mutually visible."""
     delta = p_to - p_from
     dist = jnp.linalg.norm(delta, axis=-1)
     d = delta / jnp.maximum(dist, 1e-20)[..., None]
     occ = scene_occluded(
-        scene, p_from, d, tmin=RAY_EPSILON, tmax=dist * (1.0 - 1e-3), f=f
+        scene, p_from, d, tmin=RAY_EPSILON, tmax=dist * (1.0 - 1e-3), f=f,
+        active=active,
     )
     return jnp.logical_not(occ)
 
@@ -441,8 +448,11 @@ def _trace_core(
             shadow_dir = area_dir
             shadow_tmax = dist * (1.0 - 1e-3)
 
+        # Only lanes that will use the NEE estimate cast a shadow ray; the
+        # rest opt out at block granularity inside the kernel.
         vis = jnp.logical_not(scene_occluded(
-            scene, sp.p, shadow_dir, RAY_EPSILON, shadow_tmax, f=f_time
+            scene, sp.p, shadow_dir, RAY_EPSILON, shadow_tmax, f=f_time,
+            active=state.active & nondelta,
         ))
         shadow_dir_sn = frame_to_local(fx, fy, fz, shadow_dir)
         fs_nee = bsdf_evaluate(lobes, wo, shadow_dir_sn, gn_sn, state.hero)
@@ -523,7 +533,8 @@ def _trace_core(
         new_d = wi_world
 
         # --- Next intersection ------------------------------------------
-        hit = scene_intersect_alpha(scene, new_o, new_d, f=f_time)
+        hit = scene_intersect_alpha(scene, new_o, new_d, f=f_time,
+                                    active=sample_ok)
         sp_next = resolve_sp(scene, hit, new_o, new_d, f=f_time)
         still = sample_ok & hit.mask
 

@@ -702,7 +702,9 @@ class SceneBuilder:
 
         from ..accel.pallas_intersect import build_pallas_tris
 
-        pallas_tris = build_pallas_tris(geom_static)
+        # The kernel chunk tables are cut from the SBVH when available —
+        # spatially tight treelet chunks traversed front-to-back.
+        pallas_tris = build_pallas_tris(geom_static, bvh=bvh)
 
         from .types import NormalTextures
 

@@ -37,9 +37,9 @@ def main():
     from slr_tpu.camera.perspective import sample_camera_rays
 
     width, height, spp, max_depth = 512, 384, 4, 8
-    scene = cornell_box_spheres(sphere_res=24, use_bvh=False)
-    n_tris = int(scene.pallas_tris.valid.sum())
-    print(f"tris={n_tris} chunks={scene.pallas_tris.n_chunks} "
+    scene = cornell_box_spheres(sphere_res=24)
+    n_tris = int((scene.pallas_tris.remap >= 0).sum())
+    print(f"tri-refs={n_tris} chunks={scene.pallas_tris.n_chunks} "
           f"chunk={scene.pallas_tris.chunk}")
 
     n_pix = width * height
