@@ -109,9 +109,6 @@ def main() -> None:
         return
 
     use_bpt = method == "bpt"
-    if use_bpt and scene.has_env:
-        print("note: BPT lacks env-light strategies; rendering with PT")
-        use_bpt = False
 
     rng_seed = int(settings.get("rngSeed", 0)) & 0xFFFFFFFF
 

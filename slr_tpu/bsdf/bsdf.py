@@ -90,11 +90,19 @@ def gather_lobes(scene: FlatScene, mat_id: Array, uv: Array,
     f1 = ev_f(ftex_ids[..., 1])
     wmul = ev_f(wtex_ids, default1=True)
     s0 = s0 * wmul[..., None]
-    return LobeBatch(kind=kind, s0=s0, s1=s1, s2=s2, f0=f0, f1=f1)
+    return LobeBatch(kind=kind, s0=s0, s1=s1, s2=s2, f0=f0, f1=f1,
+                     kinds=scene.lobe_kinds_present)
 
 
 def _is_kind(kind: Array, k: LobeKind) -> Array:
     return kind == jnp.int32(int(k))
+
+
+def _have(lobes: LobeBatch, k: LobeKind) -> bool:
+    """Trace-time test: can this kind occur in the batch? Absent kinds'
+    branches are never built (remote XLA compiles are expensive and the
+    compute-all-select dispatch would evaluate them for every ray)."""
+    return lobes.kinds is None or int(k) in lobes.kinds
 
 
 def _sanitized(lobes: LobeBatch, kind: LobeKind) -> LobeBatch:
@@ -115,6 +123,7 @@ def _sanitized(lobes: LobeBatch, kind: LobeKind) -> LobeBatch:
         s2=jnp.where(m1, lobes.s2, 1.5),
         f0=jnp.where(m0, lobes.f0, 0.5),
         f1=jnp.where(m0, lobes.f1, 0.5),
+        kinds=lobes.kinds,
     )
 
 
@@ -123,11 +132,11 @@ def lobe_weights(lobes: LobeBatch, wo: Array, hero: Array) -> Array:
     wo_b = jnp.broadcast_to(wo[:, None, :], lobes.kind.shape + (3,))
     hero_b = jnp.broadcast_to(hero[:, None], lobes.kind.shape)
     w = jnp.zeros(lobes.kind.shape, jnp.float32)
-    diffuse_like = (
-        _is_kind(lobes.kind, LobeKind.LAMBERT)
-        | _is_kind(lobes.kind, LobeKind.OREN_NAYAR)
-        | _is_kind(lobes.kind, LobeKind.WARD)
-    )
+    diffuse_like = jnp.zeros(lobes.kind.shape, bool)
+    for k in (LobeKind.LAMBERT, LobeKind.OREN_NAYAR, LobeKind.WARD,
+              LobeKind.FLIPPED_LAMBERT):
+        if _have(lobes, k):
+            diffuse_like = diffuse_like | _is_kind(lobes.kind, k)
     w = jnp.where(diffuse_like, importance(lobes.s0, hero_b), w)
     for kind, fn in (
         (LobeKind.SPECULAR_REFLECTION, lb_mod.specular_reflection_weight),
@@ -137,6 +146,8 @@ def lobe_weights(lobes: LobeBatch, wo: Array, hero: Array) -> Array:
         (LobeKind.ASHIKHMIN,
          lambda lb, wo, h: sum(lb_mod._ashikhmin_weights(lb, wo, h))),
     ):
+        if not _have(lobes, kind):
+            continue
         w = jnp.where(
             _is_kind(lobes.kind, kind),
             fn(_sanitized(lobes, kind), wo_b, hero_b),
@@ -146,19 +157,24 @@ def lobe_weights(lobes: LobeBatch, wo: Array, hero: Array) -> Array:
 
 
 def _eval_internal_all(lobes: LobeBatch, wo: Array, wi: Array,
-                       hero: Array) -> Array:
+                       hero: Array, adjoint: bool = False) -> Array:
     """Internal fs per lobe: (R, L, S). Delta lobes evaluate to zero."""
     wo_b = jnp.broadcast_to(wo[:, None, :], lobes.kind.shape + (3,))
     wi_b = jnp.broadcast_to(wi[:, None, :], lobes.kind.shape + (3,))
     fs = jnp.zeros(lobes.s0.shape, jnp.float32)
     for kind, fn in (
         (LobeKind.LAMBERT, lb_mod.lambert_eval),
+        (LobeKind.FLIPPED_LAMBERT, lb_mod.flipped_lambert_eval),
         (LobeKind.OREN_NAYAR, lb_mod.oren_nayar_eval),
         (LobeKind.MICROFACET_REFLECTION, lb_mod.microfacet_reflection_eval),
-        (LobeKind.MICROFACET_SCATTERING, lb_mod.microfacet_scattering_eval),
+        (LobeKind.MICROFACET_SCATTERING,
+         lambda lb, a, b: lb_mod.microfacet_scattering_eval(
+             lb, a, b, adjoint=adjoint)),
         (LobeKind.WARD, lb_mod.ward_eval),
         (LobeKind.ASHIKHMIN, lb_mod.ashikhmin_eval),
     ):
+        if not _have(lobes, kind):
+            continue
         fs = jnp.where(
             _is_kind(lobes.kind, kind)[..., None],
             fn(_sanitized(lobes, kind), wo_b, wi_b),
@@ -174,12 +190,14 @@ def _pdf_internal_all(lobes: LobeBatch, wo: Array, wi: Array,
     wi_b = jnp.broadcast_to(wi[:, None, :], lobes.kind.shape + (3,))
     hero_b = jnp.broadcast_to(hero[:, None], lobes.kind.shape)
     pdf = jnp.zeros(lobes.kind.shape, jnp.float32)
-    cosine_like = (
-        _is_kind(lobes.kind, LobeKind.LAMBERT)
-        | _is_kind(lobes.kind, LobeKind.OREN_NAYAR)
-    )
+    cosine_like = jnp.zeros(lobes.kind.shape, bool)
+    for k in (LobeKind.LAMBERT, LobeKind.OREN_NAYAR):
+        if _have(lobes, k):
+            cosine_like = cosine_like | _is_kind(lobes.kind, k)
     pdf = jnp.where(cosine_like, lb_mod.lambert_pdf(lobes, wo_b, wi_b), pdf)
     for kind, fn in (
+        (LobeKind.FLIPPED_LAMBERT,
+         lambda lb: lb_mod.flipped_lambert_pdf(lb, wo_b, wi_b)),
         (LobeKind.MICROFACET_REFLECTION,
          lambda lb: lb_mod.microfacet_reflection_pdf(lb, wo_b, wi_b)),
         (LobeKind.MICROFACET_SCATTERING,
@@ -188,6 +206,8 @@ def _pdf_internal_all(lobes: LobeBatch, wo: Array, wi: Array,
         (LobeKind.ASHIKHMIN,
          lambda lb: lb_mod.ashikhmin_pdf(lb, wo_b, wi_b, hero_b)),
     ):
+        if not _have(lobes, kind):
+            continue
         pdf = jnp.where(
             _is_kind(lobes.kind, kind), fn(_sanitized(lobes, kind)), pdf
         )
@@ -196,7 +216,9 @@ def _pdf_internal_all(lobes: LobeBatch, wo: Array, wi: Array,
 
 def _side_match(kind: Array, wo: Array, wi: Array, gn: Array) -> Array:
     """Geometric side test (BSDF::sideTest, h:209-212): a lobe contributes only
-    if its reflection/transmission type matches the geometric side of wi."""
+    if its reflection/transmission type matches the geometric side of wi.
+    FLIPPED_LAMBERT (InverseBSDF) scatters into the opposite hemisphere, so
+    it matches when wi is on the transmission side."""
     reflect = (
         jnp.sum(wo * gn, axis=-1) * jnp.sum(wi * gn, axis=-1) > 0.0
     )[:, None]
@@ -207,7 +229,9 @@ def _side_match(kind: Array, wo: Array, wi: Array, gn: Array) -> Array:
         _is_kind(kind, LobeKind.SPECULAR_SCATTERING)
         | _is_kind(kind, LobeKind.MICROFACET_SCATTERING)
     )
-    return jnp.where(refl_only, reflect, scatter)
+    flipped = _is_kind(kind, LobeKind.FLIPPED_LAMBERT)
+    match = jnp.where(refl_only, reflect, scatter)
+    return jnp.where(flipped, jnp.logical_not(reflect), match)
 
 
 def _sn_correction(wi: Array, gn: Array) -> Array:
@@ -268,6 +292,7 @@ def bsdf_sample(
     u_comp: Array,
     u0: Array,
     u1: Array,
+    adjoint: bool = False,
 ) -> BSDFSampleResult:
     """MultiBSDF one-sample MIS sampling (MultiBSDF.cpp:20-59).
 
@@ -275,6 +300,10 @@ def bsdf_sample(
     glass transmission when it is False reports `dispersive=True` so the
     caller divides the pdf by S and sets the flag (PathTracingRenderer.cpp
     :211-214 semantics).
+
+    adjoint=True (light/importance subpaths): refraction carries the adjoint
+    eta^2 radiance scale (basic_BSDFs.cpp:144-149, MicrofacetBSDF.cpp:187)
+    and the shading-normal correction uses the query direction wo.
     """
     r, l = lobes.kind.shape
     w = lobe_weights(lobes, wo, hero)  # (R, L)
@@ -295,45 +324,53 @@ def bsdf_sample(
         s2=jnp.take_along_axis(lobes.s2, idx[:, None, None], axis=1)[:, 0],
         f0=jnp.take_along_axis(lobes.f0, idx[:, None], axis=-1)[:, 0],
         f1=jnp.take_along_axis(lobes.f1, idx[:, None], axis=-1)[:, 0],
+        kinds=lobes.kinds,
     )
     front = jnp.sum(wo * gn, axis=-1) > 0.0
 
-    # Sample every kind, select by the picked lobe's kind (params sanitized
-    # per kind so unselected branches stay AD-safe).
+    # Sample every PRESENT kind, select by the picked lobe's kind (params
+    # sanitized per kind so unselected branches stay AD-safe). Absent kinds
+    # are never built.
     def san(kind):
         return _sanitized(picked, kind)
 
-    out_lam = lb_mod.lambert_sample(san(LobeKind.LAMBERT), wo, front, u0, u1)
-    out_on = lb_mod.oren_nayar_sample(san(LobeKind.OREN_NAYAR), wo, front, u0, u1)
-    out_sr = lb_mod.specular_reflection_sample(san(LobeKind.SPECULAR_REFLECTION), wo)
-    out_ss = lb_mod.specular_scattering_sample(
-        san(LobeKind.SPECULAR_SCATTERING), wo, hero, u_remap
+    samplers = (
+        (LobeKind.LAMBERT,
+         lambda: lb_mod.lambert_sample(san(LobeKind.LAMBERT), wo, front,
+                                       u0, u1)),
+        (LobeKind.FLIPPED_LAMBERT,
+         lambda: lb_mod.flipped_lambert_sample(
+             san(LobeKind.FLIPPED_LAMBERT), wo, front, u0, u1)),
+        (LobeKind.OREN_NAYAR,
+         lambda: lb_mod.oren_nayar_sample(san(LobeKind.OREN_NAYAR), wo,
+                                          front, u0, u1)),
+        (LobeKind.SPECULAR_REFLECTION,
+         lambda: lb_mod.specular_reflection_sample(
+             san(LobeKind.SPECULAR_REFLECTION), wo)),
+        (LobeKind.SPECULAR_SCATTERING,
+         lambda: lb_mod.specular_scattering_sample(
+             san(LobeKind.SPECULAR_SCATTERING), wo, hero, u_remap,
+             adjoint=adjoint)),
+        (LobeKind.MICROFACET_REFLECTION,
+         lambda: lb_mod.microfacet_reflection_sample(
+             san(LobeKind.MICROFACET_REFLECTION), wo, u0, u1)),
+        (LobeKind.MICROFACET_SCATTERING,
+         lambda: lb_mod.microfacet_scattering_sample(
+             san(LobeKind.MICROFACET_SCATTERING), wo, hero, u_remap, u0, u1,
+             adjoint=adjoint)),
+        (LobeKind.WARD,
+         lambda: lb_mod.ward_sample(san(LobeKind.WARD), wo, u0, u1)),
+        (LobeKind.ASHIKHMIN,
+         lambda: lb_mod.ashikhmin_sample(san(LobeKind.ASHIKHMIN), wo, front,
+                                         hero, u_remap, u0, u1)),
     )
-    out_mr = lb_mod.microfacet_reflection_sample(
-        san(LobeKind.MICROFACET_REFLECTION), wo, u0, u1
-    )
-    out_ms = lb_mod.microfacet_scattering_sample(
-        san(LobeKind.MICROFACET_SCATTERING), wo, hero, u_remap, u0, u1
-    )
-    out_wd = lb_mod.ward_sample(san(LobeKind.WARD), wo, u0, u1)
-    out_as = lb_mod.ashikhmin_sample(
-        san(LobeKind.ASHIKHMIN), wo, front, hero, u_remap, u0, u1
-    )
+    outs = [(k, fn()) for k, fn in samplers if _have(lobes, k)]
 
     def sel(field: str) -> Array:
-        base_v = getattr(out_lam, field)
-        v = base_v
-        for kind_enum, out in (
-            (LobeKind.OREN_NAYAR, out_on),
-            (LobeKind.SPECULAR_REFLECTION, out_sr),
-            (LobeKind.SPECULAR_SCATTERING, out_ss),
-            (LobeKind.MICROFACET_REFLECTION, out_mr),
-            (LobeKind.MICROFACET_SCATTERING, out_ms),
-            (LobeKind.WARD, out_wd),
-            (LobeKind.ASHIKHMIN, out_as),
-        ):
+        v = getattr(outs[0][1], field)
+        for kind_enum, out in outs[1:]:
             mask = _is_kind(picked.kind, kind_enum)
-            if v.ndim > mask.ndim:
+            if getattr(out, field).ndim > mask.ndim:
                 mask = mask[..., None]
             v = jnp.where(mask, getattr(out, field), v)
         return v
@@ -356,7 +393,9 @@ def bsdf_sample(
     match = _side_match(lobes.kind, wo, wi, gn)
     fs_sum = jnp.sum(
         jnp.where(
-            match[..., None], _eval_internal_all(lobes, wo, wi, hero), 0.0
+            match[..., None],
+            _eval_internal_all(lobes, wo, wi, hero, adjoint=adjoint),
+            0.0,
         ),
         axis=1,
     )
@@ -366,7 +405,10 @@ def bsdf_sample(
     pdf = jnp.where(ok, pdf, 0.0)
     fs = jnp.where(ok[..., None], fs, 0.0)
 
-    fs = fs * _sn_correction(wi, gn)[..., None]
+    # Veach sn-correction: importance transport corrects with the fixed
+    # query direction wo (BSDF::sample wrapper, h:231-246).
+    corr = _sn_correction_dir(wo, gn) if adjoint else _sn_correction(wi, gn)
+    fs = fs * corr[..., None]
     dispersive = is_trans & jnp.logical_not(wl_selected) & _is_kind(
         picked.kind, LobeKind.SPECULAR_SCATTERING
     )

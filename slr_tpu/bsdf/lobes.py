@@ -42,6 +42,11 @@ class LobeBatch(NamedTuple):
     s2: Array
     f0: Array
     f1: Array
+    # Static (trace-time) set of LobeKind ints that can occur in this batch;
+    # None = unknown/all. The dispatchers in bsdf.py skip compiling absent
+    # kinds entirely — the analogue of the reference only constructing the
+    # BSDF closures a material actually owns.
+    kinds: tuple = None
 
 
 class SampleOut(NamedTuple):
@@ -55,6 +60,8 @@ class SampleOut(NamedTuple):
 _INV_PI = 1.0 / math.pi
 
 # Kinds whose lobes scatter only by reflection (side-test matching).
+# FLIPPED_LAMBERT is the InverseBSDF(Lambert) — it scatters only into the
+# OPPOSITE hemisphere, so it sides with the transmission group.
 REFLECTION_ONLY = (
     LobeKind.LAMBERT,
     LobeKind.OREN_NAYAR,
@@ -106,6 +113,37 @@ def lambert_sample(lb: LobeBatch, wo: Array, front: Array, u0: Array,
     false_ = jnp.zeros(pdf.shape, bool)
     return SampleOut(wi=wi, pdf=pdf, fs=fs, is_delta=false_,
                      is_transmission=false_)
+
+
+# ---------------------------------------------------------------------------
+# Flipped Lambert — InverseBSDF(LambertianBRDF) (basic_BSDFs.cpp:173-207):
+# the base BSDF queried with wi.z negated, i.e. diffuse scattering into the
+# hemisphere OPPOSITE wo. Used by createSurfaceMaterial("inverse", ...) for
+# back-face diffuse transmission (the sum(matte, inverse(matte)) idiom).
+# ---------------------------------------------------------------------------
+
+def flipped_lambert_eval(lb: LobeBatch, wo: Array, wi: Array) -> Array:
+    opposite = (wo[..., 2] * wi[..., 2]) < 0.0
+    return jnp.where(opposite[..., None], lb.s0 * _INV_PI, 0.0)
+
+
+def flipped_lambert_pdf(lb: LobeBatch, wo: Array, wi: Array) -> Array:
+    opposite = (wo[..., 2] * wi[..., 2]) < 0.0
+    return jnp.where(opposite, jnp.abs(wi[..., 2]) * _INV_PI, 0.0)
+
+
+def flipped_lambert_sample(lb: LobeBatch, wo: Array, front: Array, u0: Array,
+                           u1: Array) -> SampleOut:
+    d = cosine_sample_hemisphere(u0, u1)
+    pdf = d[..., 2] * _INV_PI
+    # Into the hemisphere opposite wo (base sample's wi.z sign-flipped).
+    z = jnp.where(front, -d[..., 2], d[..., 2])
+    wi = jnp.concatenate([d[..., :2], z[..., None]], axis=-1)
+    fs = lb.s0 * _INV_PI
+    false_ = jnp.zeros(pdf.shape, bool)
+    true_ = jnp.ones(pdf.shape, bool)
+    return SampleOut(wi=wi, pdf=pdf, fs=fs, is_delta=false_,
+                     is_transmission=true_)
 
 
 # ---------------------------------------------------------------------------
@@ -441,7 +479,8 @@ def _eval_f_scalar(ee, ex, ci, co):
     return 0.5 * (rparl * rparl + rperp * rperp)
 
 
-def microfacet_scattering_eval(lb: LobeBatch, wo: Array, wi: Array) -> Array:
+def microfacet_scattering_eval(lb: LobeBatch, wo: Array, wi: Array,
+                               adjoint: bool = False) -> Array:
     alpha = lb.f0
     prod = wo[..., 2] * wi[..., 2]
     sign = jnp.where(wo[..., 2] >= 0, 1.0, -1.0)
@@ -453,7 +492,7 @@ def microfacet_scattering_eval(lb: LobeBatch, wo: Array, wi: Array) -> Array:
     g = ggx_smith_g1(alpha, wo, m) * ggx_smith_g1(alpha, wi, m)
     fs_refl = f * (d * g / jnp.maximum(4.0 * jnp.abs(prod), 1e-12))[..., None]
     # transmission side
-    fs_trans = _micro_scatter_trans_fs(lb, wo, wi)
+    fs_trans = _micro_scatter_trans_fs(lb, wo, wi, adjoint=adjoint)
     return jnp.where(
         (prod > 0)[..., None], fs_refl,
         jnp.where((prod < 0)[..., None], fs_trans, 0.0),
@@ -488,8 +527,8 @@ def microfacet_scattering_pdf(lb: LobeBatch, wo: Array, wi: Array,
 
 
 def microfacet_scattering_sample(lb: LobeBatch, wo: Array, hero: Array,
-                                 u_comp: Array, u0: Array, u1: Array
-                                 ) -> SampleOut:
+                                 u_comp: Array, u0: Array, u1: Array,
+                                 adjoint: bool = False) -> SampleOut:
     alpha = lb.f0
     sign = jnp.where(wo[..., 2] >= 0, 1.0, -1.0)
     entering = wo[..., 2] >= 0
@@ -521,7 +560,7 @@ def microfacet_scattering_sample(lb: LobeBatch, wo: Array, hero: Array,
     wi = jnp.where(do_reflect[..., None], wi_r, wi_t)
     ok = valid_m & jnp.where(do_reflect, ok_r, ok_t)
     pdf = jnp.where(do_reflect, pdf_r, pdf_t)
-    fs = microfacet_scattering_eval(lb, wo, wi)
+    fs = microfacet_scattering_eval(lb, wo, wi, adjoint=adjoint)
     pdf = jnp.where(ok, pdf, 0.0)
     fs = jnp.where(ok[..., None], fs, 0.0)
     false_ = jnp.zeros(pdf.shape, bool)

@@ -1,15 +1,27 @@
 """Multi-chip rendering over a jax.sharding Mesh.
 
 The reference's only parallelism is shared-memory tile jobs on a thread pool
-(PathTracingRenderer.cpp:27-81). The TPU equivalent (SURVEY.md §2.4): shard
-the pixel wavefront over a device mesh with `shard_map`; every shard traces
-its own rays against the replicated scene (scene pytrees are broadcast), and
-the film is assembled with an `all_gather` over ICI — the analogue of the
-reference's separated-buffer-then-sum film (ImageSensor.cpp:140-158). The
-counter-based RNG makes the result bitwise independent of the shard count.
+(PathTracingRenderer.cpp:27-81) plus per-thread separated splat buffers for
+BPT's t=1 contributions, summed at develop time (ImageSensor.h:35,
+ImageSensor.cpp:140-158). The TPU equivalents (SURVEY.md §2.4):
+
+* **PT** — pixels sharded over the mesh with `shard_map`; every shard traces
+  its own rays against the replicated scene pytree. Spectral scenes bin each
+  shard's hero-wavelength samples into film strata in-shard. The
+  counter-based RNG keyed by absolute pixel id makes results bitwise
+  independent of the shard count.
+* **BPT** — every shard owns a *full-frame* separated splat film (t=1 light
+  tracing hits arbitrary pixels) and the shard films are reduced with one
+  `jax.lax.psum` over ICI, the direct analogue of the reference's
+  per-thread sensor buffers.
+* **Multi-host** — `init_distributed()` wires `jax.distributed.initialize`
+  so `jax.devices()` spans hosts; the same single "tiles" axis then lays
+  pixel shards across (host, chip) with XLA routing the psum/all_gather over
+  ICI within a slice and DCN across.
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -20,8 +32,19 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..camera.perspective import sample_camera_rays
 from ..core import rng
 from ..core.rng import Decision
-from ..render.pt import trace_radiance
+from ..render.pt import trace_radiance_spectral
 from ..scene.types import FlatScene
+
+
+def init_distributed() -> None:
+    """Multi-host init (call once, before device queries, on every host).
+    Uses the standard JAX coordinator env vars; single-host setups no-op."""
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize(
+            coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
+            num_processes=int(os.environ.get("JAX_NUM_PROCESSES", "1")),
+            process_id=int(os.environ.get("JAX_PROCESS_ID", "0")),
+        )
 
 
 def make_mesh(n_devices: int | None = None) -> Mesh:
@@ -30,6 +53,42 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)
     return Mesh(np.asarray(devs[:n], dtype=object).reshape(n), axis_names=("tiles",))
+
+
+def _film_channels(scene: FlatScene) -> int:
+    from ..spectrum.spectral import NUM_STRATA
+
+    return NUM_STRATA if scene.stex.spectral else scene.stex.value.shape[-1]
+
+
+def _shard_film_pass(scene, pixel_id, sample_id, width, height, seed_u,
+                     max_depth):
+    """One sample pass for a pixel shard -> per-pixel film contribution
+    (RGB channels or spectral strata — matching render_batch semantics)."""
+    from ..spectrum.spectral import (
+        NUM_SPECTRAL_SAMPLES,
+        WL_HI,
+        WL_LO,
+        bin_to_strata,
+    )
+
+    px = (pixel_id % width).astype(jnp.float32)
+    py = (pixel_id // width).astype(jnp.float32)
+    jx = rng.uniform(seed_u, pixel_id, sample_id, 0, Decision.PIXEL_X)
+    jy = rng.uniform(seed_u, pixel_id, sample_id, 0, Decision.PIXEL_Y)
+    lx = rng.uniform(seed_u, pixel_id, sample_id, 0, Decision.LENS_U)
+    ly = rng.uniform(seed_u, pixel_id, sample_id, 0, Decision.LENS_V)
+    rays = sample_camera_rays(
+        scene.camera, px + jx, py + jy, width, height, lx, ly
+    )
+    c, lambdas = trace_radiance_spectral(
+        scene, rays.o, rays.d, pixel_id, sample_id, seed_u, max_depth
+    )
+    weight = rays.weight[..., None] * c
+    if scene.stex.spectral:
+        select_wl_pdf = NUM_SPECTRAL_SAMPLES / (WL_HI - WL_LO)
+        return bin_to_strata(lambdas, weight / select_wl_pdf)
+    return weight
 
 
 def render_sharded(
@@ -41,16 +100,22 @@ def render_sharded(
     seed: int = 0,
     max_depth: int = 16,
 ):
-    """Render with pixels sharded over the `tiles` mesh axis. Returns (H, W, S)
-    linear radiance, identical (up to fp reduction order) to the single-chip
-    render since RNG streams are keyed by absolute pixel id."""
+    """PT with pixels sharded over the `tiles` mesh axis. Returns (H, W, S)
+    linear film (RGB channels or spectral strata), identical (up to fp
+    reduction order) to the single-chip render since RNG streams are keyed by
+    absolute pixel id. Pixel counts that don't divide the mesh are padded
+    with inert lanes."""
     n_pix = width * height
     n_dev = mesh.devices.size
-    assert n_pix % n_dev == 0, "pixel count must divide the mesh for now"
-    s = scene.stex.value.shape[-1]
+    n_pad = -(-n_pix // n_dev) * n_dev
+    s = _film_channels(scene)
     seed_u = jnp.uint32(seed)
-
-    pixel_id = jnp.arange(n_pix, dtype=jnp.uint32)
+    # Padding lanes re-trace pixel 0 (cheap, coherent) and are dropped below.
+    pixel_id = jnp.where(
+        jnp.arange(n_pad, dtype=jnp.uint32) < n_pix,
+        jnp.minimum(jnp.arange(n_pad, dtype=jnp.uint32), n_pix - 1),
+        0,
+    )
 
     @partial(
         shard_map,
@@ -60,33 +125,74 @@ def render_sharded(
         check_rep=False,
     )
     def render_shard(scene: FlatScene, pixel_id: jnp.ndarray):
-        px = (pixel_id % width).astype(jnp.float32)
-        py = (pixel_id // width).astype(jnp.float32)
         film = jnp.zeros((pixel_id.shape[0], s), jnp.float32)
 
         def body(i, film):
             sample_id = jnp.full(pixel_id.shape, i, jnp.uint32)
-            jx = rng.uniform(seed_u, pixel_id, sample_id, 0, Decision.PIXEL_X)
-            jy = rng.uniform(seed_u, pixel_id, sample_id, 0, Decision.PIXEL_Y)
-            lx = rng.uniform(seed_u, pixel_id, sample_id, 0, Decision.LENS_U)
-            ly = rng.uniform(seed_u, pixel_id, sample_id, 0, Decision.LENS_V)
-            rays = sample_camera_rays(
-                scene.camera, px + jx, py + jy, width, height, lx, ly
+            return film + _shard_film_pass(
+                scene, pixel_id, sample_id, width, height, seed_u, max_depth
             )
-            c = trace_radiance(
-                scene, rays.o, rays.d, pixel_id, sample_id, seed_u, max_depth
-            )
-            return film + rays.weight[..., None] * c
 
         film = jax.lax.fori_loop(0, spp, body, film)
         return film / spp
 
     film = render_shard(scene, pixel_id)
-    return film.reshape(height, width, s)
+    return film[:n_pix].reshape(height, width, s)
+
+
+def render_bpt_sharded(
+    scene: FlatScene,
+    width: int,
+    height: int,
+    spp: int,
+    mesh: Mesh,
+    seed: int = 0,
+    max_light_verts: int = 8,
+    max_eye_verts: int = 8,
+):
+    """BPT with eye pixels sharded and per-shard separated splat films
+    reduced by `psum` (the reference's per-thread sensor buffers,
+    ImageSensor.cpp:140-158). Returns (H, W, S) linear film."""
+    from ..render.bpt import bpt_batch
+
+    n_pix = width * height
+    n_dev = mesh.devices.size
+    # The splat film is additive with no lane mask, so padded duplicate
+    # lanes would double-count their splats; require divisibility here.
+    assert n_pix % n_dev == 0, "BPT sharding needs n_pix % n_devices == 0"
+    s = _film_channels(scene)
+    seed_u = jnp.uint32(seed)
+    w_j = jnp.int32(width)
+    h_j = jnp.int32(height)
+    ids = jnp.arange(n_pix, dtype=jnp.uint32)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(None, P("tiles")),
+        out_specs=P(),
+        check_rep=False,
+    )
+    def render_shard(scene: FlatScene, pixel_id: jnp.ndarray):
+        film = jnp.zeros((n_pix, s), jnp.float32)
+
+        def body(i, film):
+            sample_id = jnp.full(pixel_id.shape, i, jnp.uint32)
+            return bpt_batch(
+                scene, pixel_id, sample_id, seed_u, w_j, h_j, film,
+                max_light_verts, max_eye_verts,
+            )
+
+        film = jax.lax.fori_loop(0, spp, body, film)
+        return jax.lax.psum(film, "tiles")
+
+    film = render_shard(scene, ids)
+    return (film / spp).reshape(height, width, s)
 
 
 def dryrun(n_devices: int) -> None:
-    """Compile + run one sharded render step on tiny shapes (driver hook)."""
+    """Compile + run sharded render steps on tiny shapes (driver hook):
+    RGB PT, spectral PT (strata film), and RGB BPT with psum'd splats."""
     from ..scene.presets import cornell_box_spheres
 
     mesh = make_mesh(n_devices)
@@ -94,4 +200,21 @@ def dryrun(n_devices: int) -> None:
     img = render_sharded(scene, 32, 24, spp=1, mesh=mesh, max_depth=3)
     img.block_until_ready()
     assert img.shape == (24, 32, 3)
-    print(f"dryrun_multichip ok on {n_devices} devices; mean={float(img.mean()):.5f}")
+    print(f"dryrun PT rgb ok on {n_devices} devices; "
+          f"mean={float(img.mean()):.5f}")
+
+    spec = cornell_box_spheres(sphere_res=6, use_bvh=True, spectral=True)
+    img_s = render_sharded(spec, 20, 10, spp=1, mesh=mesh, max_depth=3)
+    img_s.block_until_ready()
+    from ..spectrum.spectral import NUM_STRATA
+
+    assert img_s.shape == (10, 20, NUM_STRATA)
+    print(f"dryrun PT spectral ok; mean={float(img_s.mean()):.5f}")
+
+    img_b = render_bpt_sharded(scene, 16, 12, spp=1, mesh=mesh,
+                               max_light_verts=3, max_eye_verts=3)
+    img_b.block_until_ready()
+    assert img_b.shape == (12, 16, 3)
+    print(f"dryrun BPT ok; mean={float(img_b.mean()):.5f}")
+    print(f"dryrun_multichip ok on {n_devices} devices; "
+          f"mean={float(img.mean()):.5f}")

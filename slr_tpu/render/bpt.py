@@ -14,14 +14,20 @@ libSLR/Renderers/BidirectionalPathTracingRenderer.cpp:
 * t = 1 light-tracing contributions splatted through the perspective IDF's
   calculatePixel back-projection (:247-252) into a scatter-add film.
 
+* environment lights as full BPT strategies: light subpaths can start on the
+  infinite sphere (InfiniteSphereSurfaceObject::sampleRay,
+  SurfaceObject.cpp:187-209 — parallel rays from an offset disk, IBLEDF with
+  pdf 1/(pi R^2)), eye rays escaping to the env contribute the s = 0 term
+  with proper MIS, and s = 1 connections target atInfinity vertices with
+  dist2 = 1 and open shadow rays;
+* light subpaths sample with the adjoint BSDF forms (eta^2 refraction flip +
+  wo-based shading-normal correction, basic_BSDFs.cpp:144-149);
+* connections scale by 1/wlProb when either subpath collapsed the hero
+  wavelength (cpp:194-196), tracked per vertex in `wl_flag`.
+
 Wavefront form: subpaths have a static maximum vertex count; the whole
 wavefront builds its vertex SoA tables in lockstep (masked lanes idle), and
 the (s, t) connection loops and MIS walks unroll statically.
-
-Scope notes vs the reference: environment lights are not yet part of the BPT
-strategy set (scenes with an env light should render with PT); rough-glass
-transmission keeps its non-adjoint radiance scale on light subpaths (the
-eta^2 asymmetry of MicrofacetBSDF.cpp:187 is not yet flipped).
 """
 from __future__ import annotations
 
@@ -57,6 +63,7 @@ from ..core.rng import Decision
 from ..core.sampling import (
     concentric_sample_disk,
     cosine_sample_hemisphere,
+    sample_continuous_2d,
     sample_discrete_1d,
 )
 from ..scene.types import FlatScene
@@ -94,6 +101,10 @@ class Vertices(NamedTuple):
     rev_rr_prob: Array   # (R, V)
     delta: Array         # (R, V) creating sample was delta
     is_light0: Array     # (R, V) light-source vertex (EDF endpoint)
+    wl_flag: Array       # (R, V) hero wavelength collapsed on arrival
+                         # (BPTVertex wlFlags, BPT cpp:194-196)
+    at_inf: Array        # (R, V) environment-sphere vertex (atInfinity):
+                         # p is a unit direction, dist2 = 1 in connections
 
 
 def _stack(steps: list, axis=1):
@@ -146,14 +157,26 @@ def _generate_subpath(
 
     for i in range(max_verts):
         bounce_id = jnp.uint32(bounce_offset + i)
-        hit = scene_intersect_alpha(scene, ray_o, ray_d)
+        hit = scene_intersect_alpha(scene, ray_o, ray_d, active=active)
         sp = resolve_sp(scene, hit, ray_o, ray_d)
         ok = active & hit.mask
+        # Escaped active eye rays become implicit env-sphere vertices
+        # (atInfinity hit, BPT cpp:311-314): they contribute the s=0 env term
+        # then terminate, exactly like the reference's pop_back.
+        esc = (
+            active & jnp.logical_not(hit.mask)
+            if (scene.has_env and not adjoint)
+            else jnp.zeros((r,), bool)
+        )
 
         dist2 = jnp.maximum(jnp.sum((sp.p - prev) ** 2, axis=-1), 1e-12)
         wo = frame_to_local(sp.tangent, sp.bitangent, sp.sn, -ray_d)
         gn_sn = frame_to_local(sp.tangent, sp.bitangent, sp.sn, sp.gn)
         area_pdf = dir_pdf * jnp.abs(dot(wo, gn_sn)) / dist2
+        if scene.has_env and not adjoint:
+            # Env vertex: dist2 = 1, |cos| = 1 (gn = -dir); only its areaPDF
+            # and RR slots are read by the s=0 MIS walk.
+            area_pdf = jnp.where(esc, dir_pdf, area_pdf)
 
         step = Vertices(
             valid=ok,
@@ -167,10 +190,13 @@ def _generate_subpath(
             rev_rr_prob=jnp.ones((r,), jnp.float32),
             delta=delta,
             is_light0=jnp.zeros((r,), bool),
+            wl_flag=wl_sel,
+            at_inf=jnp.zeros((r,), bool),
         )
 
         if not adjoint:
-            # s = 0 data: the eye path hit an emitter (BPT cpp:286-309).
+            # s = 0 data: the eye path hit an emitter (BPT cpp:286-309) or
+            # escaped to the environment sphere.
             le = emitted_radiance(scene, sp.mat_id, sp.uv, dot(-ray_d, sp.sn),
                                   lambdas)
             l_prob = _area_light_prob(scene)
@@ -179,14 +205,35 @@ def _generate_subpath(
             edf_pdf = jnp.maximum(wo[..., 2], 0.0) * _INV_PI
             ext2 = edf_pdf * cos_last / dist2
             emit_ok = ok & is_emissive(scene.materials, sp.mat_id)
-            s0_info.append((emit_ok, alpha * le, ext1, ext2, wl_sel))
+            contrib = alpha * le
+            if scene.has_env:
+                from .pt import _env_radiance, _env_uv_from_direction
+                from ..core.sampling import pdf_continuous_2d
 
-        # BSDF sample to extend.
+                eu, ev_ = _env_uv_from_direction(ray_d)
+                env_le = _env_radiance(scene, eu, ev_, lambdas)
+                env_uvpdf = pdf_continuous_2d(scene.env.dist, eu, ev_)
+                env_area_pdf = env_uvpdf / jnp.maximum(
+                    2.0 * jnp.pi**2 * jnp.sin(ev_ * jnp.pi), 1e-8
+                )
+                disc_pdf = 1.0 / (
+                    jnp.pi * scene.world_radius * scene.world_radius
+                )
+                ext1 = jnp.where(esc, scene.lights.env_prob * env_area_pdf,
+                                 ext1)
+                ext2 = jnp.where(esc, disc_pdf * cos_last, ext2)
+                contrib = jnp.where(esc[:, None], alpha * env_le, contrib)
+                emit_ok = emit_ok | esc
+            s0_info.append((emit_ok, contrib, ext1, ext2, wl_sel))
+
+        # BSDF sample to extend. Light subpaths sample with the adjoint form
+        # (eta^2 flip + wo-based sn-correction, basic_BSDFs.cpp:144-149).
         lobes = gather_lobes(scene, sp.mat_id, sp.uv, sp.p, lambdas)
         uc = rng.uniform(seed, pixel_id, sample_id, bounce_id, Decision.BSDF_COMPONENT)
         u0 = rng.uniform(seed, pixel_id, sample_id, bounce_id, Decision.BSDF_U)
         u1 = rng.uniform(seed, pixel_id, sample_id, bounce_id, Decision.BSDF_V)
-        smp = bsdf_sample(lobes, wo, gn_sn, hero, wl_sel, uc, u0, u1)
+        smp = bsdf_sample(lobes, wo, gn_sn, hero, wl_sel, uc, u0, u1,
+                          adjoint=adjoint)
         new_dir_pdf = jnp.where(smp.dispersive, smp.pdf / s_dim, smp.pdf)
         wl_sel_next = wl_sel | smp.dispersive
 
@@ -315,8 +362,8 @@ def bpt_batch(
     width: Array,
     height: Array,
     film: Array,
-    max_light_verts: int = 4,
-    max_eye_verts: int = 4,
+    max_light_verts: int = 8,
+    max_eye_verts: int = 8,
 ) -> Array:
     """One BPT sample pass for a pixel batch; scatter-adds contributions
     (including t=1 splats) into `film` (H*W, S) and returns it."""
@@ -356,14 +403,30 @@ def bpt_batch(
         return film.at[pix_idx].add(c)
 
     # ------------------------------------------------------------------
-    # Light subpath (BPT cpp:117-143).
+    # Light subpath (BPT cpp:117-143). With an environment light, lanes pick
+    # env-vs-area by importance and env lanes start on the infinite sphere
+    # (InfiniteSphereSurfaceObject::sampleRay, SurfaceObject.cpp:187-209):
+    # position = importance-sampled direction (atInfinity vertex), EDF is
+    # IBLEDF (deterministic inward direction, pdf 1/(pi R^2)), and the ray
+    # origin is pushed outside the scene with a disk offset perpendicular to
+    # the direction so parallel rays cover the whole world.
     # ------------------------------------------------------------------
     u_sel = rng.uniform(seed, pid_c, sample_id, 0, Decision.LIGHT_SELECT)
     lu0 = rng.uniform(seed, pid_c, sample_id, 0, Decision.LIGHT_POS_U)
     lu1 = rng.uniform(seed, pid_c, sample_id, 0, Decision.LIGHT_POS_V)
-    idx, pmf, _ = sample_discrete_1d(scene.lights.dist, u_sel)
+    env_prob = scene.lights.env_prob
+    if scene.has_env:
+        is_env0 = u_sel < env_prob
+        u_area = jnp.clip(
+            (u_sel - env_prob) / jnp.maximum(1.0 - env_prob, 1e-12),
+            0.0, 1.0 - 1e-7,
+        )
+    else:
+        is_env0 = jnp.zeros((r,), bool)
+        u_area = u_sel
+    idx, pmf, _ = sample_discrete_1d(scene.lights.dist, u_area)
     light_tri = scene.lights.tri_idx[idx]
-    light_prob = (1.0 - scene.lights.env_prob) * pmf
+    light_prob = (1.0 - env_prob) * pmf
     lp = sample_triangle_point(scene.geometry, light_tri, lu0, lu1)
     light_area_pdf = light_prob * lp.area_pdf
     le0 = emitted_radiance(scene, lp.mat_id, lp.uv,
@@ -376,11 +439,56 @@ def bpt_batch(
     edf_pdf = jnp.maximum(edf_dir[..., 2], 1e-12) * _INV_PI
     le1 = jnp.full((r, s_dim), _INV_PI)
     l_ray_d = frame_from_local(lp.tangent, lp.bitangent, lp.sn, edf_dir)
+    l_ray_o = lp.p
+    cos_first = edf_dir[..., 2]
+
+    v0_p, v0_gn, v0_tan = lp.p, lp.gn, lp.tangent
+    v0_bit, v0_sn, v0_uv = lp.bitangent, lp.sn, lp.uv
+
+    if scene.has_env:
+        from .pt import _env_direction, _env_radiance
+
+        ex, ey, uvpdf = sample_continuous_2d(scene.env.dist, lu0, lu1)
+        e_phi = ex * 2.0 * jnp.pi
+        e_theta = ey * jnp.pi
+        p_env = _env_direction(e_phi, e_theta)
+        env_area_pdf = env_prob * uvpdf / jnp.maximum(
+            2.0 * jnp.pi**2 * jnp.sin(e_theta), 1e-8
+        )
+        gn_env = -p_env
+        # shading frame on the sphere (SurfaceObject.cpp:175-178)
+        tan_env = normalize(jnp.stack(
+            [-jnp.cos(e_phi), jnp.zeros_like(e_phi), -jnp.sin(e_phi)],
+            axis=-1,
+        ))
+        bit_env = jnp.cross(gn_env, tan_env)
+        le0_env = jnp.pi * _env_radiance(scene, ex, ey, lambdas)
+        disc_pdf = 1.0 / (jnp.pi * scene.world_radius * scene.world_radius)
+        dx, dy = concentric_sample_disk(eu0, eu1)
+        origin_env = (
+            scene.world_center[None, :]
+            + 1.1 * scene.world_radius * p_env
+            + scene.world_radius * (dx[:, None] * tan_env
+                                    + dy[:, None] * bit_env)
+        )
+        e0 = is_env0[:, None]
+        v0_p = jnp.where(e0, p_env, v0_p)
+        v0_gn = jnp.where(e0, gn_env, v0_gn)
+        v0_tan = jnp.where(e0, tan_env, v0_tan)
+        v0_bit = jnp.where(e0, bit_env, v0_bit)
+        v0_sn = jnp.where(e0, gn_env, v0_sn)
+        v0_uv = jnp.where(e0, jnp.stack([ex, ey], axis=-1), v0_uv)
+        le0 = jnp.where(e0, le0_env, le0)
+        light_area_pdf = jnp.where(is_env0, env_area_pdf, light_area_pdf)
+        l_ray_d = jnp.where(e0, gn_env, l_ray_d)
+        l_ray_o = jnp.where(e0, origin_env, l_ray_o)
+        edf_pdf = jnp.where(is_env0, disc_pdf, edf_pdf)
+        cos_first = jnp.where(is_env0, 1.0, cos_first)
 
     l_v0 = Vertices(
         valid=jnp.ones((r,), bool),
-        p=lp.p, gn=lp.gn, tangent=lp.tangent, bitangent=lp.bitangent,
-        sn=lp.sn, uv=lp.uv, mat_id=lp.mat_id,
+        p=v0_p, gn=v0_gn, tangent=v0_tan, bitangent=v0_bit,
+        sn=v0_sn, uv=v0_uv, mat_id=lp.mat_id,
         dir_in_sn=jnp.zeros((r, 3)),
         alpha=le0 / jnp.maximum(light_area_pdf, 1e-30)[:, None],
         area_pdf=light_area_pdf,
@@ -389,13 +497,14 @@ def bpt_batch(
         rev_rr_prob=jnp.ones((r,), jnp.float32),
         delta=jnp.zeros((r,), bool),
         is_light0=jnp.ones((r,), bool),
+        wl_flag=jnp.zeros((r,), bool),
+        at_inf=is_env0,
     )
-    l_alpha1 = l_v0.alpha * le1 * (
-        jnp.abs(dot(l_ray_d, lp.gn)) / edf_pdf
-    )[:, None]
+    cos_o = jnp.where(is_env0, 1.0, jnp.abs(dot(l_ray_d, lp.gn)))
+    l_alpha1 = l_v0.alpha * le1 * (cos_o / edf_pdf)[:, None]
     l_steps, _, l_zero = _generate_subpath(
-        scene, lp.p, l_ray_d, l_alpha1, edf_pdf, edf_dir[..., 2],
-        jnp.zeros((r,), bool), lp.p, True, seed, pid_c, sample_id, hero,
+        scene, l_ray_o, l_ray_d, l_alpha1, edf_pdf, cos_first,
+        jnp.zeros((r,), bool), l_ray_o, True, seed, pid_c, sample_id, hero,
         jnp.zeros((r,), bool), lambdas, max_light_verts - 1,
         _LIGHT_BOUNCE_OFFSET,
     )
@@ -463,6 +572,8 @@ def bpt_batch(
         # pinhole lens position is a delta distribution (posType Delta0D)
         delta=jnp.broadcast_to(cam.lens_radius == 0.0, (r,)),
         is_light0=jnp.zeros((r,), bool),
+        wl_flag=jnp.zeros((r,), bool),
+        at_inf=jnp.zeros((r,), bool),
     )
     e_alpha1 = e_v0.alpha * (
         jnp.abs(dot(e_ray_d, lens_n)) / we_dir_pdf
@@ -521,9 +632,17 @@ def _connect(scene, film, lv, ev, s, t, hero, lambdas, spectral, s_dim,
     ei = t - 1
     valid = lv.valid[:, li] & ev.valid[:, ei]
 
-    conn = lv.p[:, li] - ev.p[:, ei]
-    dist2 = jnp.maximum(jnp.sum(conn * conn, axis=-1), 1e-12)
-    conn_dir = conn / jnp.sqrt(dist2)[:, None]
+    # atInfinity light endpoint (env light vertex 0): the "position" is a
+    # unit direction; getDirectionFrom returns it with dist2 = 1
+    # (geometry.cpp:31-41), and cos_light = |dot(p, -p)| = 1 falls out.
+    at_l = lv.at_inf[:, li]
+    raw = lv.p[:, li] - ev.p[:, ei]
+    raw2 = jnp.maximum(jnp.sum(raw * raw, axis=-1), 1e-12)
+    conn = jnp.where(at_l[:, None], lv.p[:, li], raw)
+    dist2 = jnp.where(at_l, 1.0, raw2)
+    conn_dir = conn / jnp.sqrt(
+        jnp.maximum(jnp.sum(conn * conn, axis=-1), 1e-12)
+    )[:, None]
     cos_light = jnp.abs(dot(conn_dir, lv.gn[:, li]))
     cos_eye = jnp.abs(dot(conn_dir, ev.gn[:, ei]))
     g = cos_eye * cos_light / dist2
@@ -534,10 +653,15 @@ def _connect(scene, film, lv, ev, s, t, hero, lambdas, spectral, s_dim,
     )
     l_gn_sn = _gn_sn(lv, li)
     if s == 1:
-        # EDF endpoint: DiffuseEDF (value 1/pi above the surface).
+        # EDF endpoint: DiffuseEDF (value 1/pi above the surface); env lanes
+        # use IBLEDF (value 1/pi, pdf 1/(pi R^2) — IBLEDF.cpp:18-29).
         upper = l_conn_sn[..., 2] > 0
         l_ddf = jnp.where(upper[:, None], _INV_PI, 0.0) * jnp.ones((r, s_dim))
         l_ext1_dir_pdf = jnp.where(upper, l_conn_sn[..., 2] * _INV_PI, 0.0)
+        if scene.has_env:
+            disc_pdf = 1.0 / (jnp.pi * scene.world_radius ** 2)
+            l_ddf = jnp.where(at_l[:, None], _INV_PI, l_ddf)
+            l_ext1_dir_pdf = jnp.where(at_l, disc_pdf, l_ext1_dir_pdf)
         e_ext2_dir_pdf = jnp.zeros((r,))
         l_rev_ddf = jnp.zeros((r, s_dim))
     else:
@@ -603,12 +727,26 @@ def _connect(scene, film, lv, ev, s, t, hero, lambdas, spectral, s_dim,
                                   adjoint=True)
         splat_pix = pid_c
 
-    # wavelength collapse probability (cpp:194-196) — tracked flags omitted
-    # per-vertex; conservative: no collapse scaling for connections (delta
-    # glass connections have zero DDF anyway).
-    connection = l_ddf * (g / 1.0)[:, None] * e_ddf
+    # wavelength collapse probability (cpp:194-196): a connection touching a
+    # subpath that collapsed the hero wavelength carries 1/wlProb = N.
+    wl_prob_inv = 1.0
+    if spectral:
+        collapsed = lv.wl_flag[:, li] | ev.wl_flag[:, ei]
+        wl_prob_inv = jnp.where(collapsed, float(s_dim), 1.0)
+    connection = l_ddf * (g * wl_prob_inv)[:, None] * e_ddf
     nonzero = jnp.any(connection != 0.0, axis=-1)
-    vis = test_visibility(scene, ev.p[:, ei], lv.p[:, li])
+    # Visibility (Scene::testVisibility, SurfaceObject.cpp:417-429): env
+    # endpoints shoot an open ray that only needs to clear the world sphere.
+    from ..accel.intersect import RAY_EPSILON
+    from .pt import scene_occluded
+
+    shadow_tmax = jnp.where(
+        at_l, 4.0 * scene.world_radius, jnp.sqrt(raw2) * (1.0 - 1e-3)
+    )
+    vis = jnp.logical_not(scene_occluded(
+        scene, ev.p[:, ei], conn_dir, RAY_EPSILON, shadow_tmax,
+        active=valid & nonzero,
+    ))
     valid = valid & nonzero & vis
 
     # 1st/2nd extension pdfs (cpp:207-232)
@@ -660,6 +798,12 @@ def _connect(scene, film, lv, ev, s, t, hero, lambdas, spectral, s_dim,
         e_ext2_area = e_ext2_dir_pdf * jnp.abs(
             dot(lv.gn[:, li - 1], dir2)
         ) / d2
+        if scene.has_env and s == 2:
+            # prev light vertex at infinity: getDirectionFrom gives its unit
+            # direction with dist2 = 1 and |dot(gn, dir)| = 1.
+            e_ext2_area = jnp.where(
+                lv.at_inf[:, li - 1], e_ext2_dir_pdf, e_ext2_area
+            )
         e_ext2_rr = jnp.minimum(
             importance(
                 l_rev_ddf * (jnp.abs(dot(l_gn_sn, lv.dir_in_sn[:, li]))
@@ -692,17 +836,14 @@ def render_bpt(
     height: int,
     spp: int,
     seed: int = 0,
-    max_light_verts: int = 4,
-    max_eye_verts: int = 4,
+    max_light_verts: int = 8,
+    max_eye_verts: int = 8,
     ray_batch: int | None = None,
     sample_offset: int = 0,
 ):
     """Full-frame BPT render -> (H, W, 3) linear RGB mean radiance."""
     from ..spectrum.spectral import NUM_STRATA, strata_to_rgb
 
-    assert not scene.has_env, (
-        "BPT does not include environment-light strategies yet; use PT"
-    )
     n_pix = width * height
     spectral = scene.stex.spectral
     s_film = NUM_STRATA if spectral else scene.stex.value.shape[-1]

@@ -271,11 +271,30 @@ class SceneBuilder:
     def add_matte(self, reflectance_stex: int, sigma_ftex: int = -1) -> int:
         """reference createSurfaceMaterial("matte", ...) API.cpp:472-640."""
         if sigma_ftex >= 0:
-            lobe = _Obe = _Lobe(LobeKind.OREN_NAYAR, (reflectance_stex, -1, -1),
-                                (sigma_ftex, -1))
+            lobe = _Lobe(LobeKind.OREN_NAYAR, (reflectance_stex, -1, -1),
+                         (sigma_ftex, -1))
         else:
             lobe = _Lobe(LobeKind.LAMBERT, (reflectance_stex, -1, -1))
         return self._add_material([lobe])
+
+    def add_inverse(self, base_mat: int) -> int:
+        """createSurfaceMaterial("inverse", ...): flip the base material's
+        scattering hemisphere (InverseBSDF, basic_BSDFs.cpp:173-207).
+        Supported for diffuse bases (the reference scenes' two-sided
+        sum(matte, inverse(matte)) idiom)."""
+        flip = {
+            int(LobeKind.LAMBERT): LobeKind.FLIPPED_LAMBERT,
+            int(LobeKind.OREN_NAYAR): LobeKind.FLIPPED_LAMBERT,
+        }
+        lobes = []
+        for lb in self.materials[base_mat].lobes:
+            if int(lb.kind) not in flip:
+                raise NotImplementedError(
+                    f"inverse of lobe kind {LobeKind(lb.kind).name} "
+                    "is not supported"
+                )
+            lobes.append(dataclasses.replace(lb, kind=flip[int(lb.kind)]))
+        return self._add_material(lobes)
 
     def add_metal(self, coeff_stex: int, eta_stex: int, k_stex: int) -> int:
         return self._add_material(
@@ -557,6 +576,12 @@ class SceneBuilder:
             lobe_wtex=jnp.asarray(lobe_wtex),
             emit_stex=jnp.asarray(emit_stex),
         )
+        # Static kind set: the BSDF dispatchers compile only kinds a scene
+        # actually uses (the analogue of the reference constructing only the
+        # closures a material owns).
+        lobe_kinds_present = tuple(sorted(
+            int(k) for k in np.unique(lobe_kind) if k != int(LobeKind.NONE)
+        ))
 
         # Texture SoA (pad with one dummy row so tables are never empty).
         stexs = self.stex or [_STex(STexKind.CONST, np.zeros(s, np.float32),
@@ -735,6 +760,7 @@ class SceneBuilder:
             ntex=ntex_table,
             instances=instances,
             n_static=n_static,
+            lobe_kinds_present=lobe_kinds_present,
             has_env=self.env_stex >= 0,
             has_normal_map=bool((tri_ntex >= 0).any()),
             has_alpha=bool((tri_alpha >= 0).any()),

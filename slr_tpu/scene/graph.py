@@ -412,9 +412,9 @@ class _Flattener:
             mid = b.add_mixed(self.material(m.sub[0]), self.material(m.sub[1]),
                               self.ftex(m.ftex[0]))
         elif k == "inverse":
-            # InverseBSDF flips the scattering hemisphere; approximated by the
-            # base material until a dedicated lobe flag lands.
-            mid = self.material(m.sub[0])
+            # InverseBSDF: flip the base's scattering hemisphere
+            # (basic_BSDFs.cpp:173-207) via the FLIPPED_* lobe kinds.
+            mid = b.add_inverse(self.material(m.sub[0]))
         elif k == "emitter":
             scatter_id = self.material(m.sub[0])
             emit_tex = self.stex(m.emitter.emittance)

@@ -309,6 +309,11 @@ class FlatScene(struct.PyTreeNode):
     ntex: Optional[NormalTextures] = None
     instances: Optional[Instances] = None  # two-level path (motion/instancing)
     n_static: int = struct.field(pytree_node=False, default=-1)  # static tris
+    # Static set of LobeKind ints occurring in `materials`; the BSDF
+    # dispatchers compile only these kinds (None = all).
+    lobe_kinds_present: Optional[tuple] = struct.field(
+        pytree_node=False, default=None
+    )
     has_env: bool = struct.field(pytree_node=False, default=False)
     has_normal_map: bool = struct.field(pytree_node=False, default=False)
     has_alpha: bool = struct.field(pytree_node=False, default=False)
