@@ -37,6 +37,11 @@ def main() -> None:
                     help="write a jax.profiler trace of the first pass to DIR")
     ap.add_argument("-v", "--verbose", action="store_true",
                     help="log build/render stats (BVH SAH cost, rays/s, ...)")
+    ap.add_argument("--check", action="store_true",
+                    help="debug guardrails: assert film finiteness and "
+                    "non-negativity after every pass (the reference's "
+                    "SLRAssert NaN/Inf checks, defines.h:78-85 / "
+                    "ImageSensor.cpp:159-164)")
     ap.add_argument("--resume", action="store_true",
                     help="resume from the checkpoint in --out (film + sample "
                     "counter; continuation is bitwise-identical to an "
@@ -129,11 +134,13 @@ def main() -> None:
     ckpt_path = os.path.join(args.out, "checkpoint")
     t0 = time.time()
     accum = None
+    comp = None  # Kahan compensation (CompensatedSum.h:18-27 semantics)
     done = 0
     if args.resume:
         state = load_checkpoint(ckpt_path)
         if state is not None:
             accum = np.asarray(state["accum"])
+            comp = np.asarray(state.get("comp", np.zeros_like(accum)))
             done = int(state["done"])
             print(f"resumed at {done} samples")
     img_idx = 0
@@ -152,11 +159,27 @@ def main() -> None:
             img = render_pass(step, offset=done)
         meter.stop(step)
         first_pass = False
-        accum = img * step if accum is None else accum + img * step
+        if args.check:
+            bad = ~np.isfinite(img) | (img < 0.0)
+            if bad.any():
+                raise RuntimeError(
+                    f"--check: {int(bad.sum())} non-finite/negative film "
+                    f"texels after pass at {done}+{step} spp"
+                )
+        # Kahan-compensated progressive accumulation (the reference's
+        # CompensatedSum film, SpectrumTypes.h:826-835): matters for very
+        # long runs where per-texel sums span many orders of magnitude.
+        from .render.film import kahan_add
+
+        if accum is None:
+            accum = np.zeros_like(img)
+            comp = np.zeros_like(img)
+        accum, comp = kahan_add(accum, comp, img * step)
         done += step
         out = os.path.join(args.out, f"{img_idx:03d}.{ext}")
-        save_img(out, develop(accum / done, brightness))
-        save_checkpoint(ckpt_path, {"accum": accum, "done": done})
+        save_img(out, develop((accum + comp) / done, brightness))
+        save_checkpoint(ckpt_path, {"accum": accum, "comp": comp,
+                                    "done": done})
         print(f"{done} samples: {out}, {time.time() - t0:.1f}s "
               f"[{meter.mrays_per_s:.2f} Mrays/s]")
         img_idx += 1

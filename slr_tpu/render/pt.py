@@ -113,11 +113,12 @@ def scene_intersect(scene: FlatScene, o: Array, d: Array,
 
 def scene_intersect_alpha(scene: FlatScene, o: Array, d: Array,
                           tmin=RAY_EPSILON, tmax=jnp.inf,
-                          max_recasts: int = 4, f: Array | None = None,
+                          f: Array | None = None,
                           active: Array | None = None) -> Hit:
     """Closest hit honoring alpha-cutout textures (Triangle::intersect alpha
     test, TriangleMesh.cpp:163-168): hits whose alpha texture evaluates to 0
-    are skipped by re-casting past them (bounded number of rounds)."""
+    are re-cast past until resolution — an unbounded `lax.while_loop`, like
+    the reference's retry loop (no fixed recast cap)."""
     hit = scene_intersect(scene, o, d, tmin, tmax, f, active=active)
     if not scene.has_alpha:
         return hit
@@ -137,7 +138,14 @@ def scene_intersect_alpha(scene: FlatScene, o: Array, d: Array,
         return h.mask & (aid >= 0) & (a == 0.0)
 
     tmin_b = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), hit.t.shape)
-    for _ in range(max_recasts):
+    has_inst = hit.inst is not None
+
+    def cond(carry):
+        hit, _ = carry
+        return jnp.any(alpha_zero(hit))
+
+    def body(carry):
+        hit, tmin_b = carry
         cut = alpha_zero(hit)
         tmin_b = jnp.where(cut, hit.t + RAY_EPSILON, tmin_b)
         rehit = scene_intersect(scene, o, d, tmin_b, tmax, f, active=cut)
@@ -147,9 +155,12 @@ def scene_intersect_alpha(scene: FlatScene, o: Array, d: Array,
             b0=jnp.where(cut, rehit.b0, hit.b0),
             b1=jnp.where(cut, rehit.b1, hit.b1),
             mask=jnp.where(cut, rehit.mask, hit.mask),
-            inst=None if hit.inst is None
+            inst=None if not has_inst
             else jnp.where(cut, rehit.inst, hit.inst),
         )
+        return hit, tmin_b
+
+    hit, _ = jax.lax.while_loop(cond, body, (hit, tmin_b))
     return hit
 
 

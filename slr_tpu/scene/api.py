@@ -213,26 +213,51 @@ def make_global_env(ctx: ApiContext) -> Env:
              lambda eye, target, up, ctx: np.asarray(m3.mat_look_at(eye, target, up)))
     ))
     env.define("AnimatedTransform", builtin(
+        # Reference signature (builtin_transform.cpp:81-88): transforms
+        # pinned to absolute times tBegin/tEnd; flatten re-pins them to the
+        # render [timeStart, timeEnd] shutter.
+        _sig([("tfStart", np.ndarray), ("tfEnd", np.ndarray),
+              ("tBegin", float), ("tEnd", float)],
+             lambda tfStart, tfEnd, tBegin, tEnd, ctx:
+             (tfStart, tfEnd, float(tBegin), float(tEnd))),
         _sig([("begin", np.ndarray), ("end", np.ndarray)],
-             lambda begin, end, ctx: (begin, end))
+             lambda begin, end, ctx: (begin, end, 0.0, 1.0)),
     ))
 
     # -- textures -----------------------------------------------------------
-    def _mapping(params: TupleVal | None) -> MappingDesc:
-        if params is None:
-            return MappingDesc()
-        pos = params.positional()
-        named = params.named()
-        kind = pos[0] if pos else named.get("type", "texcoord 2D")
-        return MappingDesc(kind=kind)
+    def _mapping_params(kind: str, params: TupleVal | None) -> MappingDesc:
+        """Texture2DMapping/3DMapping (builtin_texture.cpp:14-42). The
+        reference exposes "texcoord 2D" and "world pos"; the optional params
+        tuple maps onto OffsetAndScale2DMapping (textures.h:32-42):
+        positional (ox, oy, sx, sy) or named offset/scale pairs."""
+        if kind not in ("texcoord 2D", "world pos"):
+            raise DSLError(f"unknown texture mapping type {kind!r}")
+        scale = (1.0, 1.0)
+        offset = (0.0, 0.0)
+        if params is not None:
+            pos = params.positional()
+            named = params.named()
+            if len(pos) >= 4:
+                offset = (float(pos[0]), float(pos[1]))
+                scale = (float(pos[2]), float(pos[3]))
+            if "offset" in named:
+                o = named["offset"]
+                offset = (float(o[0]), float(o[1]))
+            if "scale" in named:
+                sv = named["scale"]
+                if isinstance(sv, (int, float)):
+                    scale = (float(sv), float(sv))
+                else:
+                    scale = (float(sv[0]), float(sv[1]))
+        return MappingDesc(kind=kind, scale=scale, offset=offset)
 
     env.define("Texture2DMapping", builtin(
         _sig([("type", str, "texcoord 2D"), ("params", TupleVal, None)],
-             lambda type, params, ctx: MappingDesc(kind=type))
+             lambda type, params, ctx: _mapping_params(type, params))
     ))
     env.define("Texture3DMapping", builtin(
         _sig([("type", str, "texcoord 2D"), ("params", TupleVal, None)],
-             lambda type, params, ctx: MappingDesc(kind=type))
+             lambda type, params, ctx: _mapping_params(type, params))
     ))
 
     def _spectrum_texture(value, ctx, mapping=None):
@@ -249,11 +274,15 @@ def make_global_env(ctx: ApiContext) -> Env:
     def _procedural_stex(procedure, params, ctx):
         named = params.named()
         pos = params.positional()
+        mapping = named.get("mapping") or MappingDesc()
         if procedure == "checker board":
-            return STexDesc(kind="checker", v0=pos[0], v1=pos[1])
+            # configFunc(c0, c1, mapping) — builtin_texture.cpp:63-75
+            return STexDesc(kind="checker", v0=pos[0], v1=pos[1],
+                            mapping=mapping)
         if procedure == "voronoi":
             return STexDesc(kind="voronoi", cell_scale=float(pos[0]),
-                            brightness=float(pos[1]) if len(pos) > 1 else 0.8)
+                            brightness=float(pos[1]) if len(pos) > 1 else 0.8,
+                            mapping=mapping)
         raise DSLError(f"unknown procedure {procedure}")
 
     env.define("SpectrumTexture", builtin(

@@ -230,12 +230,47 @@ def _static_matrix(tf: Any) -> np.ndarray:
     return np.asarray(tf, np.float32)
 
 
-def _matrix_pair(tf: Any) -> tuple[np.ndarray, np.ndarray]:
-    """(matrix at shutter begin, matrix at shutter end). AnimatedTransform
-    tuples carry the begin/end matrices directly (reference AnimatedTransform,
-    Transform.h:89-143, interpolated at ray.time over the shutter)."""
+def _trs_sample_np(m0: np.ndarray, m1: np.ndarray, u: float) -> np.ndarray:
+    """Matrix at parameter u in [0, 1] between two pinned transforms, using
+    the reference's decomposed T/R/S interpolation (Transform.h:105-122:
+    lerp T and S, slerp R) — NOT matrix lerp."""
+    from ..core.transform import decompose_trs, trs_to_matrix_np
+
+    t0, q0, s0 = decompose_trs(m0)
+    t1, q1, s1 = decompose_trs(m1)
+    if np.dot(q0, q1) < 0:
+        q1 = -q1
+    d = float(np.clip(np.dot(q0, q1), -1.0, 1.0))
+    theta = np.arccos(d)
+    if theta < 1e-6:
+        q = (1 - u) * q0 + u * q1
+    else:
+        q = (np.sin((1 - u) * theta) * q0 + np.sin(u * theta) * q1) \
+            / np.sin(theta)
+    q = q / np.linalg.norm(q)
+    return trs_to_matrix_np((1 - u) * t0 + u * t1, q.astype(np.float32),
+                            (1 - u) * s0 + u * s1)
+
+
+def _matrix_pair(tf: Any, time_start: float = 0.0,
+                 time_end: float = 1.0) -> tuple[np.ndarray, np.ndarray]:
+    """(matrix at shutter begin, matrix at shutter end).
+
+    AnimatedTransform tuples carry (tfStart, tfEnd, tBegin, tEnd) with the
+    transforms pinned at absolute times; the shutter spans the render
+    settings' [timeStart, timeEnd] (RenderSettings, main.cpp:54-55), so the
+    endpoint matrices are re-sampled at those times with time-clamping
+    (AnimatedTransform::sample, Transform.h:105-122)."""
     if isinstance(tf, tuple):
-        return np.asarray(tf[0], np.float32), np.asarray(tf[1], np.float32)
+        m0 = np.asarray(tf[0], np.float32)
+        m1 = np.asarray(tf[1], np.float32)
+        tb, te = (float(tf[2]), float(tf[3])) if len(tf) >= 4 else (0.0, 1.0)
+        span = te - tb
+        if span <= 0.0:
+            return m0, m0
+        u0 = float(np.clip((time_start - tb) / span, 0.0, 1.0))
+        u1 = float(np.clip((time_end - tb) / span, 0.0, 1.0))
+        return _trs_sample_np(m0, m1, u0), _trs_sample_np(m0, m1, u1)
     m = np.asarray(tf, np.float32)
     return m, m
 
@@ -258,8 +293,11 @@ def _subtree_emits(node: "Node") -> bool:
 
 
 class _Flattener:
-    def __init__(self, builder: SceneBuilder):
+    def __init__(self, builder: SceneBuilder, time_start: float = 0.0,
+                 time_end: float = 0.0):
         self.b = builder
+        self.time_start = time_start
+        self.time_end = time_end
         self._stex_cache: dict[int, int] = {}
         self._ftex_cache: dict[int, int] = {}
         self._mat_cache: dict[tuple, int] = {}
@@ -454,7 +492,7 @@ class _Flattener:
         """
         if world_end is None:
             world_end = world
-        t0, t1 = _matrix_pair(node.transform)
+        t0, t1 = _matrix_pair(node.transform, self.time_start, self.time_end)
         w0 = world @ t0
         w1 = world_end @ t1
         animated = not np.array_equal(w0, w1)
@@ -512,7 +550,12 @@ class _Flattener:
 def flatten(scene: SceneDesc, spectral: bool = False, use_bvh: bool = True):
     """SceneDesc -> FlatScene (the analogue of Scene::build, Scene.cpp:28-41)."""
     b = SceneBuilder(spectral=spectral)
-    f = _Flattener(b)
+    settings = getattr(scene, "settings", None) or {}
+    f = _Flattener(
+        b,
+        time_start=float(settings.get("timeStart", 0.0)),
+        time_end=float(settings.get("timeEnd", 0.0)),
+    )
     f.walk(scene.root, np.eye(4, dtype=np.float32))
     if scene.env_image is not None:
         img_id = b.add_image(scene.env_image)

@@ -124,3 +124,62 @@ class TestSceneLoading:
         )
         aov = render_aovs(flat, 32, 24)
         assert float(aov.hit.mean()) == 1.0  # closed box fills the view
+
+
+def test_texture_mapping_offset_scale():
+    """Texture2DMapping offset/scale parameters reach the flattened scene
+    (OffsetAndScale2DMapping semantics, textures.h:32-42): a scaled checker
+    samples differently from the default mapping."""
+    import numpy as np
+    from slr_tpu.scene.api import read_scene
+    from slr_tpu.scene.graph import flatten
+    from slr_tpu.scene.textures import eval_stex
+    import jax.numpy as jnp
+
+    base = """
+surfMat = createSurfaceMaterial("matte", (SpectrumTexture("checker board",
+    (Spectrum(1, 1, 1), Spectrum(0, 0, 0){mapping})),));
+m = createMesh(
+  (
+    ((0, 0, 0), (0, 0, 1), (1, 0, 0), (0, 0)),
+    ((1, 0, 0), (0, 0, 1), (1, 0, 0), (1, 0)),
+    ((1, 1, 0), (0, 0, 1), (1, 0, 0), (1, 1))
+  ),
+  ((surfMat, ((0, 1, 2),)),)
+);
+addChild(root, m);
+camera = createPerspectiveCamera("aspect": 1.0, "fovY": 0.5, "radius": 0.0,
+                                 "imgDist": 1.0, "objDist": 5.0);
+addChild(root, camera);
+"""
+    import tempfile, os
+    def build(mapping):
+        with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as f:
+            f.write(base.format(mapping=mapping))
+            path = f.name
+        try:
+            scene, _ = read_scene(path)
+            return flatten(scene)
+        finally:
+            os.unlink(path)
+
+    plain = build("")
+    mapped = build(', "mapping": Texture2DMapping("texcoord 2D", '
+                   '("offset": (0.25, 0.0), "scale": (2.0, 2.0)))')
+    uv = jnp.asarray([[0.3, 0.3], [0.6, 0.8]], jnp.float32)
+    tid = jnp.zeros((2,), jnp.int32)
+    # checker texture is texture id of the matte reflectance: find it
+    def checker_id(s):
+        k = np.asarray(s.stex.kind)
+        ids = np.nonzero(k == 2)[0]
+        assert len(ids) == 1
+        return jnp.full((2,), int(ids[0]), jnp.int32)
+
+    v_plain = np.asarray(eval_stex(plain.stex, checker_id(plain), uv, None))
+    v_mapped = np.asarray(eval_stex(mapped.stex, checker_id(mapped), uv, None))
+    ms = np.asarray(mapped.stex.map_scale)
+    mo = np.asarray(mapped.stex.map_offset)
+    kk = int(np.nonzero(np.asarray(mapped.stex.kind) == 2)[0][0])
+    np.testing.assert_allclose(ms[kk], [2.0, 2.0])
+    np.testing.assert_allclose(mo[kk], [0.25, 0.0])
+    assert not np.allclose(v_plain, v_mapped)

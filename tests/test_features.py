@@ -129,8 +129,42 @@ class TestCLI:
              "/root/reference/TestScenes/Cornell_Box_Spheres.txt",
              "--spp", "1", "--width", "32", "--height", "24",
              "--out", str(tmp_path), "--renderer", "pt", "--max-depth", "3",
-             "--cpu"],
+             "--cpu", "--check"],
             capture_output=True, text=True, timeout=500,
         )
         assert res.returncode == 0, res.stderr[-2000:]
         assert (tmp_path / "000.png").exists()
+
+
+class TestDeepAlphaCutout:
+    def test_six_layer_cutout(self):
+        """A ray passing through 6 fully-cut-out quads must reach the 7th
+        solid one — the recast loop is unbounded (lax.while_loop), unlike
+        round-1's fixed 4 rounds (TriangleMesh.cpp:163-168 loops until
+        resolution)."""
+        import numpy as np
+        import jax.numpy as jnp
+        from slr_tpu.scene.build import SceneBuilder
+        from slr_tpu.render.pt import scene_intersect_alpha
+
+        b = SceneBuilder()
+        refl = b.add_stex_const((0.5, 0.5, 0.5))
+        mat = b.add_matte(refl)
+        cut = b.add_ftex_const(0.0)   # alpha == 0 -> fully cut out
+        nrm = np.tile(np.float32([0, 0, 1]), (4, 1))
+        tan = np.tile(np.float32([1, 0, 0]), (4, 1))
+        uv = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+        tris = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+        for i in range(7):
+            z = float(i)
+            pos = np.array([[-1, -1, z], [1, -1, z], [1, 1, z], [-1, 1, z]],
+                           np.float32)
+            b.add_mesh(pos, nrm, tan, uv, tris, mat,
+                       alpha_ftex=(cut if i < 6 else -1))
+        b.set_camera_perspective(np.eye(4, dtype=np.float32), 1.0, 0.5)
+        scene = b.build(use_bvh=False)
+        o = jnp.asarray([[0.1, 0.1, -1.0]] * 4, jnp.float32)
+        d = jnp.asarray([[0.0, 0.0, 1.0]] * 4, jnp.float32)
+        hit = scene_intersect_alpha(scene, o, d)
+        assert bool(hit.mask.all())
+        np.testing.assert_allclose(np.asarray(hit.t), 7.0, atol=1e-4)
