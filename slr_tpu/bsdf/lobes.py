@@ -20,6 +20,7 @@ import math
 from typing import NamedTuple
 
 import jax.numpy as jnp
+from flax import struct
 
 from ..core.math3d import Array
 from ..core.sampling import cosine_sample_hemisphere
@@ -28,12 +29,17 @@ from .fresnel import fresnel_conductor, fresnel_dielectric
 from ..scene.types import LobeKind
 
 
-class LobeBatch(NamedTuple):
+class LobeBatch(struct.PyTreeNode):
     """Per-lobe gathered parameters, any batch shape B.
 
     kind: (B,) int32 LobeKind
     s0/s1/s2: (B, S) spectrum slots (reflectance-coeff, eta/etaExt, k/etaInt)
     f0/f1: (B,) float slots (sigma / alpha_g / aniso)
+    kinds: STATIC set of LobeKind ints that can occur in this batch;
+    None = unknown/all. The dispatchers in bsdf.py skip compiling absent
+    kinds entirely — the analogue of the reference only constructing the
+    BSDF closures a material actually owns. Static metadata (not a pytree
+    leaf), so a LobeBatch crossing a jit boundary keeps it a plain tuple.
     """
 
     kind: Array
@@ -42,11 +48,7 @@ class LobeBatch(NamedTuple):
     s2: Array
     f0: Array
     f1: Array
-    # Static (trace-time) set of LobeKind ints that can occur in this batch;
-    # None = unknown/all. The dispatchers in bsdf.py skip compiling absent
-    # kinds entirely — the analogue of the reference only constructing the
-    # BSDF closures a material actually owns.
-    kinds: tuple = None
+    kinds: tuple = struct.field(pytree_node=False, default=None)
 
 
 class SampleOut(NamedTuple):
