@@ -192,7 +192,8 @@ def _run_wavefront(scene: FlatScene, n_pix: int, spp_end, seed, width, height,
         lam_s = state.lambdas if spectral else None
 
         # ---- cast the in-flight ray ------------------------------------
-        hit = scene_intersect_alpha(scene, state.ray_o, state.ray_d, f=ft)
+        hit = scene_intersect_alpha(scene, state.ray_o, state.ray_d, f=ft,
+                                    active=lane_on)
         sp = resolve_sp(scene, hit, state.ray_o, state.ray_d, f=ft)
         hit_ok = lane_on & hit.mask
         first = state.bounce == 0
@@ -262,8 +263,10 @@ def _run_wavefront(scene: FlatScene, n_pix: int, spp_end, seed, width, height,
             shadow_dir = area_dir
             shadow_tmax = dist * (1.0 - 1e-3)
 
+        depth_ok_pre = (state.bounce < max_depth) & jnp.logical_not(state.last)
         vis = jnp.logical_not(scene_occluded(
-            scene, sp.p, shadow_dir, RAY_EPSILON, shadow_tmax, f=ft))
+            scene, sp.p, shadow_dir, RAY_EPSILON, shadow_tmax, f=ft,
+            active=hit_ok & depth_ok_pre & nondelta))
         shadow_dir_sn = frame_to_local(fx, fy, fz, shadow_dir)
         fs_nee = bsdf_evaluate(lobes, wo, shadow_dir_sn, gn_sn, state.hero)
         pdf_bsdf_w = bsdf_pdf(lobes, wo, shadow_dir_sn, gn_sn, state.hero)

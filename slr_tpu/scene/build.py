@@ -557,10 +557,15 @@ class SceneBuilder:
 
         # Material SoA.
         m = len(self.materials)
-        lobe_kind = np.zeros((m, MAX_LOBES), np.int32)
-        lobe_stex = np.full((m, MAX_LOBES, 3), -1, np.int32)
-        lobe_ftex = np.full((m, MAX_LOBES, 2), -1, np.int32)
-        lobe_wtex = np.full((m, MAX_LOBES), -1, np.int32)
+        # Table width = the scene's actual max lobe count (<= MAX_LOBES):
+        # every per-lobe texture eval / dispatch op is O(R * L), so a scene
+        # of single-lobe materials does a quarter of the padded-to-4 work.
+        l_max = max((len(mat.lobes) for mat in self.materials), default=1)
+        l_max = max(l_max, 1)
+        lobe_kind = np.zeros((m, l_max), np.int32)
+        lobe_stex = np.full((m, l_max, 3), -1, np.int32)
+        lobe_ftex = np.full((m, l_max, 2), -1, np.int32)
+        lobe_wtex = np.full((m, l_max), -1, np.int32)
         emit_stex = np.full((m,), -1, np.int32)
         for i, mat in enumerate(self.materials):
             for j, lb in enumerate(mat.lobes):

@@ -68,6 +68,21 @@ def main():
                               max_depth=max_depth, seed=1)
     dt_r = timeit(f"render spp={spp}", f_render, n=2)
 
+    from slr_tpu.render.wavefront import render_wavefront
+
+    img, iters = render_wavefront(scene, width, height, spp=spp, seed=1,
+                                  return_iters=True)
+    jax.block_until_ready(img)
+    import time as _t
+    t0 = _t.perf_counter()
+    img, iters = render_wavefront(scene, width, height, spp=spp, seed=1,
+                                  return_iters=True)
+    jax.block_until_ready(img)
+    dt_w = _t.perf_counter() - t0
+    print(f"{'render_wavefront spp=' + str(spp):40s} {dt_w*1e3:9.2f} ms "
+          f"({iters} iters)")
+    print(f"wavefront samples/s:              {n_pix*spp/dt_w/1e3:.0f} k")
+
     casts = 1 + 2 * max_depth
     print(f"\nper-sample intersect lower bound: "
           f"{(dt_hit * (1 + max_depth) + dt_any * max_depth)*1e3:.2f} ms")
