@@ -45,6 +45,10 @@ def matte():
 @pytest.fixture(scope="module")
 def scene():
     sc = SceneDesc()
+    # A real shutter interval: the reference defaults timeStart=timeEnd=0.0
+    # (API.cpp:1077-1078), which freezes animated transforms at t=0; motion
+    # blur needs the scene to declare the interval (main.cpp:54-55).
+    sc.settings["timeEnd"] = 1.0
     q = quad_mesh(matte())
     r1 = ReferenceNode(q)
     t1 = np.eye(4, dtype=np.float32)
