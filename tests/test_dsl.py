@@ -74,13 +74,36 @@ class TestInterpreter:
             's3 = Spectrum("ID": "D65") * 4; s4 = Spectrum("ID": "Aluminium", 1);'
         )
         s1 = env.lookup("s1")
-        assert s1.kind == "rgb" and s1.rgb == (0.75, 0.25, 0.5)
+        # Default space "sRGB" = ColorSpace::sRGB_NonLinear (strToColorSpace,
+        # API.cpp:62-63): DSL RGB constants are degamma'd to linear.
+        def deg(v):
+            return v / 12.92 if v <= 0.04045 else ((v + 0.055) / 1.055) ** 2.4
+
+        assert s1.kind == "rgb"
+        np.testing.assert_allclose(
+            s1.rgb, (deg(0.75), deg(0.25), deg(0.5)), rtol=1e-6
+        )
         s2 = env.lookup("s2")
         assert s2.kind == "mono" and s2.value == 1.0
         s3 = env.lookup("s3")
         assert s3.kind == "library" and s3.library_id == "D65" and s3.scale == 4
         s4 = env.lookup("s4")
         assert s4.library_comp == 1
+
+    def test_spectrum_color_spaces(self):
+        """"Rec709" is LINEAR sRGB primaries; "sRGB" is nonlinear; XYZ round
+        trips exactly through the reflectance (E-white) matrix."""
+        from slr_tpu.spectrum.spectral import _sRGB_E_to_XYZ
+
+        env, _ = run_src(
+            's_lin = Spectrum("Reflectance", "Rec709", 0.5, 0.5, 0.5); '
+            's_xyz = Spectrum("Reflectance", "XYZ", 0.3, 0.4, 0.3);'
+        )
+        np.testing.assert_allclose(env.lookup("s_lin").rgb, (0.5, 0.5, 0.5))
+        xyz = np.asarray(_sRGB_E_to_XYZ, np.float64) @ np.asarray(
+            env.lookup("s_xyz").rgb
+        )
+        np.testing.assert_allclose(xyz, (0.3, 0.4, 0.3), atol=1e-6)
 
     def test_string_comparison_switchlike(self):
         env, _ = run_src('name = "abc"; eq = name == "abc";')

@@ -73,8 +73,10 @@ def render_ours(spp: int) -> None:
     from slr_tpu.render.pt import render
     from slr_tpu.scene.api import load_scene
 
+    # max_depth=16 ~ the reference's RR-unbounded depth on this scene (path
+    # survival past 16 bounces is <1e-4); shares bench.py's compiled program.
     scene, _, _ = load_scene(SCENE, spectral=True)
-    img = render(scene, WIDTH, HEIGHT, spp=spp, max_depth=64)
+    img = render(scene, WIDTH, HEIGHT, spp=spp, max_depth=16)
     os.makedirs(OURS_OUT, exist_ok=True)
     np.save(os.path.join(OURS_OUT, f"ours_{spp}.npy"), np.asarray(img))
     save_png(os.path.join(OURS_OUT, f"ours_{spp}.png"), develop(img))
