@@ -296,6 +296,43 @@ class PathState(NamedTuple):
     init_y: Array      # (R,) initial importance for RR
 
 
+def _ray_sort_key(scene: FlatScene, o: Array, d: Array, active: Array) -> Array:
+    """Coherence key for wavefront re-sorting: direction octant (3 bits) +
+    Morton code of the quantized origin (27 bits). Inactive lanes key to the
+    maximum so they pack into trailing ray blocks, where the Pallas kernels'
+    block-granular opt-out skips them entirely.
+
+    Sorting is statistically invisible: the RNG is keyed per (pixel, sample,
+    bounce, decision), so each lane draws identical randoms in any order and
+    the caller un-permutes with the carried `orig` indices. Results agree
+    with the unsorted path to fp tolerance (XLA fuses the two programs
+    differently around the gathers)."""
+    lo = scene.world_center - scene.world_radius
+    ext = jnp.maximum(2.0 * scene.world_radius, 1e-12)
+    q = jnp.clip((o - lo) / ext * 511.0, 0.0, 511.0).astype(jnp.uint32)
+
+    def expand9(v):
+        # Spread 9 bits to every 3rd position (fits 27 bits).
+        v = (v | (v << jnp.uint32(16))) & jnp.uint32(0x030000FF)
+        v = (v | (v << jnp.uint32(8))) & jnp.uint32(0x0300F00F)
+        v = (v | (v << jnp.uint32(4))) & jnp.uint32(0x030C30C3)
+        v = (v | (v << jnp.uint32(2))) & jnp.uint32(0x09249249)
+        return v
+
+    morton = (
+        (expand9(q[..., 0]) << jnp.uint32(2))
+        | (expand9(q[..., 1]) << jnp.uint32(1))
+        | expand9(q[..., 2])
+    )
+    octant = (
+        ((d[..., 0] < 0).astype(jnp.uint32) << jnp.uint32(2))
+        | ((d[..., 1] < 0).astype(jnp.uint32) << jnp.uint32(1))
+        | (d[..., 2] < 0).astype(jnp.uint32)
+    )
+    key = (octant << jnp.uint32(27)) | morton
+    return jnp.where(active, key, jnp.uint32(0xFFFFFFFF))
+
+
 def _select_light(scene: FlatScene, u: Array):
     """Two-level light pick. Returns (tri (R,), prob (R,), remapped u, is_env)."""
     env_prob = scene.lights.env_prob
@@ -316,7 +353,7 @@ def _area_light_prob(scene: FlatScene) -> Array:
     return (1.0 - scene.lights.env_prob) / n_lights
 
 
-@partial(jax.jit, static_argnames=("max_depth",))
+@partial(jax.jit, static_argnames=("max_depth", "sort_rays"))
 def trace_radiance(
     scene: FlatScene,
     o: Array,
@@ -325,13 +362,15 @@ def trace_radiance(
     sample_id: Array,
     seed,
     max_depth: int = 16,
+    sort_rays: bool = False,
 ) -> Array:
     """Estimate radiance for a wavefront of camera rays. Returns (R, S).
 
     In spectral scenes S = 16 hero-wavelength samples; the caller converts to
     film strata. In RGB scenes S = 3. Also returns the wavelength set for
     spectral scenes via trace_radiance_spectral."""
-    radiance, _ = _trace_core(scene, o, d, pixel_id, sample_id, seed, max_depth)
+    radiance, _ = _trace_core(scene, o, d, pixel_id, sample_id, seed,
+                              max_depth, sort_rays)
     return radiance
 
 
@@ -349,6 +388,7 @@ def _trace_core(
     sample_id: Array,
     seed,
     max_depth: int,
+    sort_rays: bool = False,
 ):
     from ..spectrum.spectral import NUM_SPECTRAL_SAMPLES, sample_wavelengths
 
@@ -411,9 +451,15 @@ def _trace_core(
         prev_delta=jnp.zeros((r,), bool),
         init_y=init_y,
     )
+    # Per-lane streams the bounce loop draws from / bins by; when sorting,
+    # these ride along with their lane through every permutation, and `orig`
+    # un-permutes the film at the end.
+    aux = (pixel_id, sample_id, f_time, lambdas,
+           jnp.arange(r, dtype=jnp.int32))
 
     def bounce(b, carry):
-        state, sp = carry
+        state, sp, aux = carry
+        pixel_id, sample_id, f_time, lambdas, orig = aux
         bounce_id = jnp.uint32(b + 1)
 
         wo_world = -state.ray_d
@@ -543,6 +589,25 @@ def _trace_core(
         new_o = sp.p
         new_d = wi_world
 
+        # --- Wavefront re-sort for coherence ----------------------------
+        # Secondary bounces scatter rays across the scene; re-ordering by
+        # (direction octant, origin Morton) keeps each Pallas ray block's
+        # chunk worklist short and packs terminated lanes into trailing
+        # blocks (which the kernels skip wholesale). Pure permutation —
+        # per-lane results agree to fp tolerance, un-permuted at trace end.
+        is_delta = smp.is_delta
+        if sort_rays:
+            key = _ray_sort_key(scene, new_o, new_d, sample_ok)
+            order = jnp.argsort(key)
+            (state, new_o, new_d, sample_ok, new_alpha, radiance, dir_pdf,
+             is_delta, wl_selected, pixel_id, sample_id, f_time, lambdas,
+             orig) = jax.tree.map(
+                lambda a: a[order],
+                (state, new_o, new_d, sample_ok, new_alpha, radiance,
+                 dir_pdf, is_delta, wl_selected, pixel_id, sample_id,
+                 f_time, lambdas, orig),
+            )
+
         # --- Next intersection ------------------------------------------
         hit = scene_intersect_alpha(scene, new_o, new_d, f=f_time,
                                     active=sample_ok)
@@ -561,7 +626,7 @@ def _trace_core(
         l_prob = _area_light_prob(scene)
         light_pdf_hit = l_prob * sp_next.area_pdf * d2 / jnp.maximum(cos_g, 1e-12)
         mis_bsdf = jnp.where(
-            smp.is_delta, 1.0, power_heuristic(dir_pdf, light_pdf_hit)
+            is_delta, 1.0, power_heuristic(dir_pdf, light_pdf_hit)
         )
         emissive_hit = still & is_emissive(scene.materials, sp_next.mat_id)
         radiance = radiance + jnp.where(
@@ -581,7 +646,7 @@ def _trace_core(
                 / jnp.maximum(2.0 * jnp.pi**2 * jnp.sin(iev * jnp.pi), 1e-8)
             )
             mis_env_hit = jnp.where(
-                smp.is_delta, 1.0, power_heuristic(dir_pdf, env_pdf_hit)
+                is_delta, 1.0, power_heuristic(dir_pdf, env_pdf_hit)
             )
             radiance = radiance + jnp.where(
                 esc[..., None],
@@ -615,13 +680,19 @@ def _trace_core(
             hero=state.hero,
             wl_selected=jnp.where(active, wl_selected, state.wl_selected),
             prev_pdf=dir_pdf,
-            prev_delta=smp.is_delta,
+            prev_delta=is_delta,
             init_y=state.init_y,
         )
-        return new_state, sp_next
+        return new_state, sp_next, (pixel_id, sample_id, f_time, lambdas,
+                                    orig)
 
-    state, _ = jax.lax.fori_loop(0, max_depth, bounce, (state, sp))
-    return state.radiance, lambdas
+    state, _, aux_out = jax.lax.fori_loop(0, max_depth, bounce,
+                                          (state, sp, aux))
+    radiance_out = state.radiance
+    if sort_rays:
+        orig = aux_out[-1]
+        radiance_out = jnp.zeros_like(radiance_out).at[orig].set(radiance_out)
+    return radiance_out, lambdas
 
 
 def render(
@@ -724,7 +795,8 @@ def render_batch(
             scene.camera, px + jx, py + jy, width, height, lx, ly
         )
     c, lambdas = _trace_core(
-        scene, rays.o, rays.d, pid_c, sample_id, seed, max_depth
+        scene, rays.o, rays.d, pid_c, sample_id, seed, max_depth,
+        sort_rays=True,
     )
     weight = rays.weight[..., None] * c
     if scene.stex.spectral:
@@ -774,7 +846,8 @@ def render_fused(
             scene.camera, px_i + jx, py_i + jy, width, height, lx, ly
         )
         c, lambdas = _trace_core(
-            scene, rays.o, rays.d, pixel_id, sample_id, seed_u, max_depth
+            scene, rays.o, rays.d, pixel_id, sample_id, seed_u, max_depth,
+            sort_rays=True,
         )
         weight = rays.weight[..., None] * c
         if spectral:

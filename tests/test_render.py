@@ -147,6 +147,30 @@ class TestCornell:
         i2 = np.asarray(render(cornell, 16, 12, spp=1, max_depth=4))
         np.testing.assert_array_equal(i1, i2)
 
+    def test_ray_sorting_invariant(self, cornell):
+        """Per-bounce wavefront re-sorting (coherence for the Pallas
+        worklists) is a pure permutation: sorted and unsorted traces agree
+        per lane to fp tolerance (the counter-based RNG draws identical
+        randoms in any lane order)."""
+        import jax.numpy as jnp
+
+        from slr_tpu.camera.perspective import sample_camera_rays
+        from slr_tpu.render.pt import trace_radiance
+
+        w, h = 32, 24
+        pid = jnp.arange(w * h, dtype=jnp.uint32)
+        px = (pid % w).astype(jnp.float32) + 0.5
+        py = (pid // w).astype(jnp.float32) + 0.5
+        lens = jnp.full((w * h,), 0.5, jnp.float32)
+        rays = sample_camera_rays(cornell.camera, px, py, w, h, lens, lens)
+        sid = jnp.zeros((w * h,), jnp.uint32)
+        a = trace_radiance(cornell, rays.o, rays.d, pid, sid, 7,
+                           max_depth=6, sort_rays=False)
+        b = trace_radiance(cornell, rays.o, rays.d, pid, sid, 7,
+                           max_depth=6, sort_rays=True)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
 
 class TestSharding:
     def test_shard_count_invariance(self, cornell_bvh):
