@@ -39,6 +39,26 @@ class TestBPT:
             bpt.mean(axis=(0, 1)), pt.mean(axis=(0, 1)), rtol=0.15
         )
 
+    def test_pt_bpt_agree_per_block(self, cornell_small):
+        """Spatially-resolved convergence: 3x3-block means of independent
+        PT and BPT renders agree everywhere, not just globally — a wrong
+        MIS weight distorts specific regions (near the light, in shadow)
+        by O(2x) while barely moving the image mean. Measured at these
+        settings: mean block rel-err 0.076, max 0.204 (MC noise)."""
+        w, h = 24, 18
+        pt = np.asarray(render(cornell_small, w, h, spp=256, max_depth=6))
+        bpt = np.asarray(
+            render_bpt(cornell_small, w, h, spp=64, max_light_verts=4,
+                       max_eye_verts=4)
+        )
+
+        def blocks(a, f=3):
+            return a.reshape(h // f, f, w // f, f, 3).mean(axis=(1, 3))
+
+        rel = np.abs(blocks(bpt) - blocks(pt)) / np.maximum(blocks(pt), 1e-3)
+        assert rel.mean() < 0.12, rel.mean()
+        assert rel.max() < 0.35, rel.max()
+
     def test_light_tracing_splats_present(self, cornell_small):
         """t=1 strategies splat energy outside the pixel's own path."""
         img1 = np.asarray(
