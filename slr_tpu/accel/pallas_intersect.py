@@ -274,6 +274,29 @@ def _chunk_worklist(rays: Array, boxes: Array) -> tuple[Array, Array]:
     return wl.reshape(-1), count
 
 
+def worklist_stats(pt: "PallasTris", o: Array, d: Array,
+                   active: Array | None = None,
+                   rb: int = RB) -> dict:
+    """Traversal-cost metrics for a wavefront: per-block culled-worklist
+    sizes (the number of chunk DMAs + MXU passes each ray block will pay).
+    Host-side profiling helper — NOT part of the render path."""
+    import numpy as np
+
+    r = o.shape[0]
+    tmin_a, tmax_a = _ray_ranges(r, RAY_EPSILON, jnp.inf, active)
+    rays, _ = _pack_rays(o, d, tmin_a, tmax_a, rb)
+    _, cnt = _chunk_worklist(rays, pt.boxes)
+    c = np.asarray(cnt)
+    return {
+        "n_blocks": int(c.size),
+        "n_chunks": pt.n_chunks,
+        "mean_chunks_per_block": float(c.mean()),
+        "max_chunks_per_block": int(c.max()),
+        "empty_blocks": int((c == 0).sum()),
+        "pairs_per_ray": float(c.mean()) * pt.chunk,
+    }
+
+
 # ---------------------------------------------------------------------------
 # Kernels
 # ---------------------------------------------------------------------------

@@ -96,3 +96,15 @@ def test_morton_fallback_no_bvh(scene):
     hit_k = intersect_pallas(scene.geometry, tables, o, d, interpret=True)
     hit_b = intersect_brute(scene.geometry, o, d)
     assert bool(jnp.all(hit_k.mask == hit_b.mask))
+
+
+def test_worklist_stats(scene, tables):
+    from slr_tpu.accel.pallas_intersect import worklist_stats
+
+    o, d = _rand_rays(512)
+    s = worklist_stats(tables, o, d)
+    assert s["n_blocks"] == 2 and s["n_chunks"] == tables.n_chunks
+    assert 0 < s["mean_chunks_per_block"] <= s["n_chunks"]
+    # inactive lanes opt out entirely
+    s0 = worklist_stats(tables, o, d, active=jnp.zeros((512,), bool))
+    assert s0["mean_chunks_per_block"] == 0.0
