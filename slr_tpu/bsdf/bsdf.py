@@ -36,6 +36,13 @@ class BSDFSampleResult(NamedTuple):
     pdf: Array       # (R,)
     is_delta: Array  # (R,) bool
     dispersive: Array  # (R,) bool: hero-collapse happened (glass transmission)
+    # Reverse-direction pdf/fs, valid ONLY where is_delta (the reference's
+    # BSDFReverseInfo). BPT's MIS walk uses these at specular vertices where
+    # bsdf_pdf/bsdf_evaluate are identically zero; zeros there silently drop
+    # every competing-strategy term past the vertex and overweight specular
+    # paths. Finite lobes report 0 here — use bsdf_pdf/bsdf_evaluate.
+    rev_pdf: Array = None   # (R,)
+    rev_fs: Array = None    # (R, S) with sn-correction of the reverse query
 
 
 def gather_lobes(scene: FlatScene, mat_id: Array, uv: Array,
@@ -381,6 +388,21 @@ def bsdf_sample(
     is_delta = sel("is_delta")
     is_trans = sel("is_transmission")
 
+    def sel_rev(field: str, like: Array) -> Array:
+        v = jnp.zeros_like(like)
+        for kind_enum, out in outs:
+            rv = getattr(out, field)
+            if rv is None:
+                continue
+            mask = _is_kind(picked.kind, kind_enum)
+            if rv.ndim > mask.ndim:
+                mask = mask[..., None]
+            v = jnp.where(mask, rv, v)
+        return v
+
+    rev_pdf_lobe = sel_rev("rev_pdf", pdf_sel)
+    rev_fs_lobe = sel_rev("rev_fs", fs_sel)
+
     # Combined pdf & fs for non-delta picks (MultiBSDF.cpp:35-56).
     pdf = pdf_sel * w_sel
     pdfs_all = _pdf_internal_all(lobes, wo, wi, hero)
@@ -412,8 +434,28 @@ def bsdf_sample(
     dispersive = is_trans & jnp.logical_not(wl_selected) & _is_kind(
         picked.kind, LobeKind.SPECULAR_SCATTERING
     )
+
+    # Reverse delta info at the MATERIAL level: lobe-pick weights are
+    # recomputed at the reverse query direction wi (MultiBSDF reverse
+    # handling, MultiBSDF.cpp:60-129); the reverse transport kind is the
+    # opposite of `adjoint`, so its sn-correction uses wi as the fixed
+    # query direction (or wo as its sampled direction).
+    w_rev = lobe_weights(lobes, wi, hero)
+    sum_w_rev = jnp.sum(w_rev, axis=-1)
+    w_rev_sel = jnp.take_along_axis(w_rev, idx[:, None], axis=-1)[:, 0]
+    rev_pdf = jnp.where(
+        is_delta & (sum_w_rev > 0),
+        rev_pdf_lobe * w_rev_sel / jnp.maximum(sum_w_rev, 1e-30),
+        0.0,
+    )
+    corr_rev = (_sn_correction_dir(wi, gn) if not adjoint
+                else _sn_correction(wo, gn))
+    rev_fs = jnp.where(
+        is_delta[..., None], rev_fs_lobe * corr_rev[..., None], 0.0
+    )
     return BSDFSampleResult(wi=wi, fs=fs, pdf=pdf, is_delta=is_delta,
-                            dispersive=dispersive)
+                            dispersive=dispersive, rev_pdf=rev_pdf,
+                            rev_fs=rev_fs)
 
 
 def emitted_radiance(scene: FlatScene, mat_id: Array, uv: Array,

@@ -57,6 +57,15 @@ class SampleOut(NamedTuple):
     fs: Array            # (B, S) internal fs (no sn-correction)
     is_delta: Array      # (B,) bool
     is_transmission: Array  # (B,) bool (geometric transmission w.r.t. z)
+    # Reverse-direction info for DELTA lobes only (the reference's
+    # BSDFReverseInfo, directional_distribution_functions.h:142-150): the
+    # branch pdf and fs of sampling wo from wi. BPT's MIS ratio walk needs
+    # these nonzero at delta vertices — bsdf_pdf/evaluate of a delta
+    # direction are 0 by definition, and zeros would silently drop every
+    # competing-strategy term beyond a specular vertex. None for
+    # finite lobes (callers use the generic evaluators there).
+    rev_pdf: Array = None   # (B,) reverse branch pdf
+    rev_fs: Array = None    # (B, S) reverse internal fs
 
 
 _INV_PI = 1.0 / math.pi
@@ -207,8 +216,10 @@ def specular_reflection_sample(lb: LobeBatch, wo: Array) -> SampleOut:
     fs = lb.s0 * f / jnp.maximum(jnp.abs(wo[..., 2]), 1e-12)[..., None]
     true_ = jnp.ones(pdf.shape, bool)
     false_ = jnp.zeros(pdf.shape, bool)
+    # Mirror reflection is symmetric: |cos wi| = |cos wo| and the Fresnel
+    # term is shared, so the reverse branch equals the forward one.
     return SampleOut(wi=wi, pdf=pdf, fs=fs, is_delta=true_,
-                     is_transmission=false_)
+                     is_transmission=false_, rev_pdf=pdf, rev_fs=fs)
 
 
 # ---------------------------------------------------------------------------
@@ -273,12 +284,34 @@ def specular_scattering_sample(
     bad = jnp.logical_and(do_reflect, cos_o == 0.0)
     pdf = jnp.where(bad, 0.0, pdf)
     true_ = jnp.ones(pdf.shape, bool)
+
+    # Reverse branch (BSDFReverseInfo): Fresnel reciprocity makes the
+    # reverse branch probability equal the forward one for both branches;
+    # the reverse transmission VALUE swaps the eta^2 radiance scale (it is
+    # the opposite transport kind — adjoint carries no scale,
+    # basic_BSDFs.cpp:144-149) and divides by |cos wo| instead of
+    # |cos_exit|. Mirror-branch reverse equals forward.
+    val_rev_h = coeff_h * (1.0 - f_h)
+    if adjoint:
+        # Forward was importance transport -> reverse is RADIANCE transport
+        # entering from the exit side: scale (e_exit/e_enter)^2.
+        val_rev_h = val_rev_h * (e_exit * e_exit) / jnp.maximum(
+            e_enter * e_enter, 1e-12
+        )
+    fs_t_rev = _one_hot_hero(
+        val_rev_h / jnp.maximum(jnp.abs(cos_o), 1e-12), hero, s
+    )
+    fs_t_rev = jnp.where(tir[..., None], 0.0, fs_t_rev)
+    rev_pdf = jnp.where(bad, 0.0, pdf)
+    rev_fs = jnp.where(do_reflect[..., None], fs_r, fs_t_rev)
     return SampleOut(
         wi=wi,
         pdf=pdf,
         fs=fs,
         is_delta=true_,
         is_transmission=jnp.logical_not(do_reflect),
+        rev_pdf=rev_pdf,
+        rev_fs=rev_fs,
     )
 
 

@@ -249,10 +249,21 @@ def _generate_subpath(
         )
 
         # Reverse pdf/fs of this bounce for the PREVIOUS vertex
-        # (vtxNextToLast.revAreaPDF / revRRProb, cpp:341-343).
-        rev_pdf = bsdf_pdf(lobes, smp.wi, wo, gn_sn, hero)
-        rev_fs = bsdf_evaluate(lobes, smp.wi, wo, gn_sn, hero,
-                               adjoint=not adjoint)
+        # (vtxNextToLast.revAreaPDF / revRRProb, cpp:341-343). Delta bounces
+        # use the sampler's BSDFReverseInfo — the generic evaluators are 0
+        # at delta directions, and zeros here killed every MIS ratio term
+        # beyond a specular vertex (overweighting specular paths).
+        rev_pdf = jnp.where(
+            smp.is_delta,
+            smp.rev_pdf,
+            bsdf_pdf(lobes, smp.wi, wo, gn_sn, hero),
+        )
+        rev_fs = jnp.where(
+            smp.is_delta[..., None],
+            smp.rev_fs,
+            bsdf_evaluate(lobes, smp.wi, wo, gn_sn, hero,
+                          adjoint=not adjoint),
+        )
         rev_area = rev_pdf * cos_last / dist2
         rev_rr = jnp.minimum(
             importance(

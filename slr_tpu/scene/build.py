@@ -604,18 +604,24 @@ class SceneBuilder:
             atlas = np.zeros((0, 1, 1, 4), np.float32)
             image_hw = np.zeros((0, 2), np.int32)
         if self.curves:
-            lmax = max(len(c[0]) for c in self.curves)
-            curves_wl = np.zeros((len(self.curves), lmax), np.float32)
-            curves_v = np.zeros((len(self.curves), lmax), np.float32)
+            from ..spectrum.spectral import WL_HI, WL_LO
+
+            # Regular per-nm resampling (see SpectrumTextures docstring):
+            # linear interpolation within each curve's native domain, zero
+            # outside it (RegularContinuousSpectrum evaluates 0 out of range).
+            grid_n = int(round(WL_HI - WL_LO)) + 1
+            grid = np.linspace(WL_LO, WL_HI, grid_n)
+            curves_wl = np.zeros((len(self.curves), 2), np.float32)
+            curves_v = np.zeros((len(self.curves), grid_n), np.float32)
             for i, (wl, v) in enumerate(self.curves):
-                curves_wl[i, : len(wl)] = wl
-                curves_wl[i, len(wl):] = wl[-1] + np.arange(1, lmax - len(wl) + 1)
-                curves_v[i, : len(v)] = v
-                curves_v[i, len(v):] = v[-1]
+                curves_wl[i] = (wl[0], wl[-1])
+                vals = np.interp(grid, wl, v)
+                vals[(grid < wl[0]) | (grid > wl[-1])] = 0.0
+                curves_v[i] = vals
             curves_wl_j = jnp.asarray(curves_wl)
             curves_v_j = jnp.asarray(curves_v)
         else:
-            curves_wl_j = jnp.zeros((0, 1), jnp.float32)
+            curves_wl_j = jnp.zeros((0, 2), jnp.float32)
             curves_v_j = jnp.zeros((0, 1), jnp.float32)
         stex = SpectrumTextures(
             kind=jnp.asarray([t.kind for t in stexs], jnp.int32),

@@ -197,11 +197,7 @@ def eval_spectrum_texture_spectral(
     RGB texels and converts on the fly (sRGB->uvs->basis spectra); VORONOI
     draws a cell RGB and upsamples (voronoi_textures.cpp:75-80).
     """
-    from ..spectrum.spectral import (
-        eval_irregular_spectrum,
-        rgb_to_spectrum,
-        upsample_eval,
-    )
+    from ..spectrum.spectral import rgb_to_spectrum, upsample_eval
 
     tid = jnp.clip(tex_id, 0, stex.kind.shape[0] - 1)
     kind = stex.kind[tid]
@@ -225,10 +221,42 @@ def eval_spectrum_texture_spectral(
         )
 
     if stex.has_curve and stex.curves_wl is not None and stex.curves_wl.shape[0] > 0:
-        cid = jnp.clip(stex.curve_id[tid], 0, stex.curves_wl.shape[0] - 1)
-        wls_tab = stex.curves_wl[cid]  # (R, L)
-        vals_tab = stex.curves_v[cid]
-        curve = jax.vmap(eval_irregular_spectrum)(wls_tab, vals_tab, lambdas)
+        import numpy as _np
+
+        from ..spectrum.spectral import WL_HI, WL_LO
+
+        # Gather-free curve lookup: tables are per-nm regular grids (build
+        # time), re-laid into per-stratum windows and fetched with one
+        # one-hot matmul + static window selects — TPU element-gathers
+        # (and the per-lane searchsorted before them) are catastrophically
+        # slow. Same stratified-λ contract as upsample_eval.
+        k_n, g = stex.curves_v.shape
+        n = lambdas.shape[-1]
+        cstarts = _np.floor(_np.arange(n) * (g - 1) / n).astype(_np.int32)
+        cw = int(_np.ceil((g - 1) / n)) + 2
+        cv = jnp.pad(stex.curves_v, ((0, 0), (0, cw)))
+        win = jnp.stack([cv[:, int(s):int(s) + cw] for s in cstarts], axis=1)
+        win = win.reshape(k_n, n * cw)
+
+        cid = jnp.clip(stex.curve_id[tid], 0, k_n - 1)
+        r = cid.shape[0]
+        one_hot = (
+            jax.lax.broadcasted_iota(jnp.int32, (r, k_n), 1) == cid[:, None]
+        ).astype(jnp.float32)
+        crow = (one_hot @ win).reshape(r, n, cw)
+
+        x = (lambdas - WL_LO) / (WL_HI - WL_LO) * (g - 1)
+        xi = jnp.clip(x.astype(jnp.int32), 0, g - 2)
+        frac = jnp.clip(x - xi, 0.0, 1.0)
+        starts_j = jnp.asarray(cstarts)[None, :]
+        loc = jnp.clip(xi - starts_j, 0, cw - 1)[..., None]
+        loc_hi = jnp.clip(xi + 1 - starts_j, 0, cw - 1)[..., None]
+        wiota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, cw), 2)
+        selw = (
+            (wiota == loc) * (1.0 - frac)[..., None]
+            + (wiota == loc_hi) * frac[..., None]
+        )
+        curve = jnp.sum(crow * selw, axis=-1)
         curve = curve * stex.value[tid][..., 0:1]  # scale stored in value[0]
         out = jnp.where((kind == STexKind.CURVE)[..., None], curve, out)
 

@@ -91,8 +91,13 @@ class SpectrumTextures(struct.PyTreeNode):
     # RGB resources to uvs at load time, Image.h:24-25); tabulated SPDs live
     # in a padded curve table addressed by `curve_id`.
     curve_id: Array = None    # (C,) int32 into curves (-1 unused)
-    curves_wl: Array = None   # (K, L) wavelengths (padded, ascending)
-    curves_v: Array = None    # (K, L) values
+    # Curves are resampled at build onto a REGULAR per-nm grid over the
+    # renderable range [WL_LO, WL_HI] (zeros outside the curve's native
+    # domain): evaluation is index arithmetic + two flat gathers instead of a
+    # per-lane searchsorted over padded irregular tables (which lowered to a
+    # catastrophic (R, N, L) broadcast on TPU).
+    curves_wl: Array = None   # (K, 2) native [min_wl, max_wl] per curve
+    curves_v: Array = None    # (K, G) regular-grid values on [WL_LO, WL_HI]
     spectral: bool = struct.field(pytree_node=False, default=False)
     # Static feature flags: texture kinds present in this scene. jit omits
     # the evaluation code of absent kinds entirely (remote XLA compiles are

@@ -50,27 +50,32 @@ def _raw(name: str):
 
 @functools.cache
 def upsampling_tables():
-    """Meng-Simon grid as device arrays (jnp)."""
+    """Meng-Simon grid tables.
+
+    Cached as NUMPY arrays on purpose: jit embeds them as program constants,
+    and caching `jnp.asarray` results would trap tracers if the first call
+    happened under a trace (UnexpectedTracerError on the next program)."""
     d = _raw("upsampling.npz")
     return {
-        "inside": jnp.asarray(d["grid_inside"].astype(np.int32)),
-        "num_points": jnp.asarray(d["grid_num_points"].astype(np.int32)),
-        "idx": jnp.asarray(d["grid_idx"].astype(np.int32)),
-        "dp_uv": jnp.asarray(d["dp_uv"]),
-        "dp_spectra": jnp.asarray(d["dp_spectra"]),
+        "inside": d["grid_inside"].astype(np.int32),
+        "num_points": d["grid_num_points"].astype(np.int32),
+        "idx": d["grid_idx"].astype(np.int32),
+        "dp_uv": np.asarray(d["dp_uv"]),
+        "dp_spectra": np.asarray(d["dp_spectra"]),
         "eer": float(d["equal_energy_reflectance"]),
     }
 
 
 @functools.cache
 def cie_tables():
+    # numpy on purpose — see upsampling_tables.
     d = _raw("cie.npz")
     return {
-        "xbar": jnp.asarray(d["xbar"]),
-        "ybar": jnp.asarray(d["ybar"]),
-        "zbar": jnp.asarray(d["zbar"]),
-        "d65": jnp.asarray(d["d65"]),
-        "colorchecker": jnp.asarray(d["colorchecker"]),
+        "xbar": np.asarray(d["xbar"]),
+        "ybar": np.asarray(d["ybar"]),
+        "zbar": np.asarray(d["zbar"]),
+        "d65": np.asarray(d["d65"]),
+        "colorchecker": np.asarray(d["colorchecker"]),
     }
 
 
@@ -169,101 +174,181 @@ def srgb_to_uvs(rgb: Array, illuminant: bool = False) -> Array:
 # Upsampled spectrum evaluation
 # ---------------------------------------------------------------------------
 
+WIN_W = 8  # per-stratum basis-column window width (covers ceil(94/16)+2)
+
+
+@functools.cache
+def upsampling_packed():
+    """Gather-free evaluation tables (numpy; embedded as jit constants).
+
+    TPU element-gathers cost ~7ns/element, so the original formulation
+    (7 point-row gathers + 14 per-lane column gathers per call) ran at
+    >100ms per 49k-lane evaluation. This packing turns every lookup into
+    either one small one-hot matmul or a static window select:
+
+    cell:   (168, 20) per-grid-cell row = [inside, num_points, idx0..5,
+            uv0..uv5] — ONE one-hot(168) matmul fetches everything the
+            bilinear/fan logic needs, including the data-point uv positions.
+    win:    (P, 16*WIN_W) basis spectra re-laid per wavelength stratum: for
+            hero-stratified sample sets, stratum i's basis column index
+            always falls in [starts[i], starts[i]+WIN_W-2], so the λ
+            interpolation is a static window select after one (R,P)@(P,128)
+            MXU contraction.
+    starts: (16,) window origins, floor(i*(C-1)/16).
+    """
+    t = upsampling_tables()
+    spectra = t["dp_spectra"]
+    p_n, c = spectra.shape
+    n = NUM_SPECTRAL_SAMPLES
+    starts = np.floor(np.arange(n) * (c - 1) / n).astype(np.int32)
+    win = np.zeros((p_n, n, WIN_W), np.float32)
+    for i, s0 in enumerate(starts):
+        e = min(s0 + WIN_W, c)
+        win[:, i, : e - s0] = spectra[:, s0:e]
+    idx = t["idx"]  # (168, 6)
+    uv6 = t["dp_uv"][np.clip(idx, 0, p_n - 1)].reshape(idx.shape[0], 12)
+    cell = np.concatenate(
+        [
+            t["inside"].astype(np.float32)[:, None],
+            t["num_points"].astype(np.float32)[:, None],
+            idx.astype(np.float32),
+            uv6.astype(np.float32),
+        ],
+        axis=1,
+    )
+    return {
+        "win": win.reshape(p_n, n * WIN_W),
+        "starts": starts,
+        "cell": cell.astype(np.float32),
+        "n_points": p_n,
+        "n_basis": c,
+    }
+
+
 def upsample_eval(u: Array, v: Array, scale: Array, lambdas: Array) -> Array:
     """Evaluate the Meng-Simon upsampled spectrum at `lambdas`.
 
-    u/v/scale: (R,) grid coords + brightness; lambdas: (R, N) nm.
-    Returns (R, N). Vectorized UpsampledContinuousSpectrum::evaluate
-    (SpectrumTypes.h:239-339).
+    u/v/scale: (..., ) grid coords + brightness; lambdas: (..., N) nm.
+    Returns (..., N). Same math as UpsampledContinuousSpectrum::evaluate
+    (SpectrumTypes.h:239-339), reformulated gather-free for TPU: one-hot
+    matmuls against packed tables + per-stratum window selects (see
+    upsampling_packed). Contract: lambda sample i must lie near wavelength
+    stratum i — true for every stratified hero set and for monotone
+    16-λ grids; arbitrary per-slot wavelengths are clamped to the window.
     """
-    t = upsampling_tables()
+    pk = upsampling_packed()
+    lead = u.shape
+    n = lambdas.shape[-1]
+    r = int(np.prod(lead)) if lead else 1
+    u = u.reshape(r)
+    v = v.reshape(r)
+    scale_f = jnp.broadcast_to(jnp.asarray(scale, jnp.float32), lead).reshape(r)
+    lam = lambdas.reshape(r, n)
+
     in_grid = (u >= 0) & (u < GRID_W) & (v >= 0) & (v < GRID_H)
     uc = jnp.clip(u, 0.0, GRID_W - 1e-4)
     vc = jnp.clip(v, 0.0, GRID_H - 1e-4)
     ui = uc.astype(jnp.int32)
     vi = vc.astype(jnp.int32)
     cell = ui + GRID_W * vi
-    inside = t["inside"][cell] == 1
-    num_points = t["num_points"][cell]
-    indices = t["idx"][cell]  # (R, 6)
 
-    # --- inside: bilinear over the 4 quad corners --------------------------
+    # ONE one-hot matmul fetches the whole per-cell row.
+    cell_tab = jnp.asarray(pk["cell"])  # (168, 20)
+    n_cells = cell_tab.shape[0]
+    cell_1h = (
+        jax.lax.broadcasted_iota(jnp.int32, (r, n_cells), 1)
+        == cell[:, None]
+    ).astype(jnp.float32)
+    row = cell_1h @ cell_tab  # (R, 20)
+    inside = row[:, 0] > 0.5
+    num_points = row[:, 1].astype(jnp.int32)
+    idx6 = row[:, 2:8].astype(jnp.int32)          # (R, 6) data-point ids
+    uv6 = row[:, 8:20].reshape(r, 6, 2)           # (R, 6, 2) their uvs
+
+    # --- inside: bilinear over the 4 quad corners (slots 0..3) -------------
     s = uc - ui
     tt = vc - vi
-    w_in = jnp.stack(
+    w_in4 = jnp.stack(
         [(1 - s) * (1 - tt), s * (1 - tt), (1 - s) * tt, s * tt], axis=-1
-    )  # (R, 4)
-    idx_in = indices[..., :4]
+    )
 
-    # --- boundary: triangle fan around idx[0] ------------------------------
-    dp_uv = t["dp_uv"]
-    p0 = dp_uv[jnp.clip(indices[..., 0], 0, dp_uv.shape[0] - 1)]  # (R, 2)
-    ex = uc - p0[..., 0]
-    ey = vc - p0[..., 1]
+    # --- boundary: triangle fan around slot 0 ------------------------------
+    p0 = uv6[:, 0]
+    ex = uc - p0[:, 0]
+    ey = vc - p0[:, 1]
+    found = jnp.zeros((r,), bool)
+    slot_w_fan = jnp.zeros((r, MAX_FAN), jnp.float32)
+    slot_ids = jax.lax.broadcasted_iota(jnp.int32, (r, MAX_FAN), 1)
 
-    found = jnp.zeros(u.shape, bool)
-    w_tri = jnp.zeros(u.shape + (3,), jnp.float32)
-    idx_tri = jnp.zeros(u.shape + (3,), jnp.int32)
-
-    e_prev = dp_uv[jnp.clip(indices[..., 1], 0, dp_uv.shape[0] - 1)] - p0  # e0
-    uu = e_prev[..., 0] * ey - ex * e_prev[..., 1]
+    e_prev = uv6[:, 1] - p0
+    uu = e_prev[:, 0] * ey - ex * e_prev[:, 1]
     for i in range(1, MAX_FAN):
-        # idx_sel = indices[i % (numPoints - 1) + 1]
         denom = jnp.maximum(num_points - 1, 1)
-        sel_slot = jnp.mod(i, denom) + 1
-        sel = jnp.take_along_axis(indices, sel_slot[..., None], axis=-1)[..., 0]
-        prev_slot = jnp.full_like(sel_slot, i)
-        prev = jnp.take_along_axis(
-            indices, jnp.minimum(prev_slot, MAX_FAN - 1)[..., None], axis=-1
-        )[..., 0]
-        e1 = dp_uv[jnp.clip(sel, 0, dp_uv.shape[0] - 1)] - p0
-        vv = ex * e1[..., 1] - e1[..., 0] * ey
-        area = e_prev[..., 0] * e1[..., 1] - e1[..., 0] * e_prev[..., 1]
+        sel_slot = jnp.mod(i, denom) + 1           # (R,) in 1..5
+        sel_uv = jnp.sum(
+            jnp.where((slot_ids == sel_slot[:, None])[..., None], uv6, 0.0),
+            axis=1,
+        )
+        e1 = sel_uv - p0
+        vv = ex * e1[:, 1] - e1[:, 0] * ey
+        area = e_prev[:, 0] * e1[:, 1] - e1[:, 0] * e_prev[:, 1]
         safe_area = jnp.where(area == 0, 1.0, area)
         bu = uu / safe_area
         bv = vv / safe_area
         bw = 1.0 - bu - bv
         valid_iter = (i < num_points) & jnp.logical_not(found)
-        hit = valid_iter & (bu >= -1e-6) & (bv >= -1e-6) & (bw >= -1e-6) & (area != 0)
-        w_tri = jnp.where(
-            hit[..., None], jnp.stack([bu, bv, bw], axis=-1), w_tri
+        hit = (
+            valid_iter & (bu >= -1e-6) & (bv >= -1e-6) & (bw >= -1e-6)
+            & (area != 0)
         )
-        idx_tri = jnp.where(
-            hit[..., None],
-            jnp.stack([sel, prev, indices[..., 0]], axis=-1),
-            idx_tri,
+        # Winning barycentrics attach to slots (sel_slot, i, 0).
+        add = (
+            bu[:, None] * (slot_ids == sel_slot[:, None])
+            + bv[:, None] * (slot_ids == i)
+            + bw[:, None] * (slot_ids == 0)
         )
+        slot_w_fan = jnp.where(hit[:, None], add, slot_w_fan)
         found = found | hit
-        # advance fan: uu = -vv; e0 = e1 (only where still searching)
         cont = valid_iter & jnp.logical_not(hit)
         uu = jnp.where(cont, -vv, uu)
-        e_prev = jnp.where(cont[..., None], e1, e_prev)
+        e_prev = jnp.where(cont[:, None], e1, e_prev)
 
-    # --- gather basis spectra at the sample wavelengths --------------------
-    spectra = t["dp_spectra"]  # (P, 95)
-    n_basis = spectra.shape[1]
-    p = (lambdas - WL_LO) / (WL_HI - WL_LO)
+    slot_w = jnp.where(
+        inside[:, None],
+        jnp.concatenate([w_in4, jnp.zeros((r, MAX_FAN - 4))], axis=1),
+        slot_w_fan,
+    )
+    ok = in_grid & (inside | found)
+    slot_w = jnp.where(ok[:, None], slot_w, 0.0) * scale_f[:, None]
+
+    # --- combine basis spectra on the MXU ----------------------------------
+    # Linearity: interp_λ(Σ_k w_k·basis[p_k]) = Σ_k w_k·interp_λ(basis[p_k]),
+    # so one accumulated one-hot weight matrix + one matmul replaces seven
+    # row gathers.
+    p_n = pk["n_points"]
+    iota_p = jax.lax.broadcasted_iota(jnp.int32, (r, p_n), 1)
+    a = jnp.zeros((r, p_n), jnp.float32)
+    for k in range(MAX_FAN):
+        a = a + slot_w[:, k:k + 1] * (iota_p == idx6[:, k:k + 1])
+    spw = (a @ jnp.asarray(pk["win"])).reshape(r, n, WIN_W)
+
+    # --- per-stratum window select at the sample wavelengths ---------------
+    n_basis = pk["n_basis"]
+    p = (lam - WL_LO) / (WL_HI - WL_LO)
     sbinf = jnp.clip(p, 0.0, 1.0) * (n_basis - 1)
     sbin = jnp.minimum(sbinf.astype(jnp.int32), n_basis - 1)
     sbin_next = jnp.minimum(sbin + 1, n_basis - 1)
     frac = sbinf - sbin
-
-    def interp(point_idx: Array) -> Array:
-        """point_idx: (R,) -> spectrum samples (R, N)."""
-        sp = spectra[jnp.clip(point_idx, 0, spectra.shape[0] - 1)]  # (R, 95)
-        lo = jnp.take_along_axis(sp, sbin, axis=-1)
-        hi = jnp.take_along_axis(sp, sbin_next, axis=-1)
-        return lo * (1 - frac) + hi * frac
-
-    val_in = sum(
-        w_in[..., j:j + 1] * interp(idx_in[..., j]) for j in range(4)
+    starts = jnp.asarray(pk["starts"])[None, :]   # (1, N)
+    loc = jnp.clip(sbin - starts, 0, WIN_W - 1)[..., None]
+    loc_hi = jnp.clip(sbin_next - starts, 0, WIN_W - 1)[..., None]
+    wiota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, WIN_W), 2)
+    sel = (
+        (wiota == loc) * (1.0 - frac)[..., None]
+        + (wiota == loc_hi) * frac[..., None]
     )
-    val_tri = sum(
-        w_tri[..., j:j + 1] * interp(idx_tri[..., j]) for j in range(3)
-    )
-    val = jnp.where(inside[..., None], val_in, val_tri)
-    ok = in_grid & (inside | found)
-    return jnp.where(ok[..., None], val, 0.0) * scale[..., None]
+    val = jnp.sum(spw * sel, axis=-1)
+    return val.reshape(*lead, n)
 
 
 def rgb_to_spectrum(rgb: Array, lambdas: Array, illuminant: bool = False) -> Array:
@@ -286,6 +371,7 @@ def rgb_to_spectrum(rgb: Array, lambdas: Array, illuminant: bool = False) -> Arr
 def eval_regular_spectrum(values: Array, wl_lo: float, wl_hi: float,
                           lambdas: Array) -> Array:
     """Linear interpolation of a regularly sampled SPD; zero outside."""
+    values = jnp.asarray(values)
     n = values.shape[-1]
     x = (lambdas - wl_lo) / (wl_hi - wl_lo) * (n - 1)
     xi = jnp.clip(x.astype(jnp.int32), 0, n - 2)
