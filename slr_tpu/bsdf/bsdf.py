@@ -55,13 +55,23 @@ def gather_lobes(scene: FlatScene, mat_id: Array, uv: Array,
     The lobe weight texture (mix ratios) is folded into s0, matching the
     reference's `scale` argument threading through getBSDF.
     """
-    mats = scene.materials
-    kind = mats.lobe_kind[mat_id]          # (R, L)
-    stex_ids = mats.lobe_stex[mat_id]      # (R, L, 3)
-    ftex_ids = mats.lobe_ftex[mat_id]      # (R, L, 2)
-    wtex_ids = mats.lobe_wtex[mat_id]      # (R, L)
+    from ..core.tables import onehot_fetch, pack_columns
 
-    r, l = kind.shape
+    mats = scene.materials
+    m, l = mats.lobe_kind.shape
+    row = onehot_fetch(
+        pack_columns(mats.lobe_kind, mats.lobe_stex, mats.lobe_ftex,
+                     mats.lobe_wtex),
+        mat_id,
+    )
+    kind = row[..., :l].astype(jnp.int32)                       # (R, L)
+    stex_ids = row[..., l:4 * l].astype(jnp.int32).reshape(
+        row.shape[:-1] + (l, 3))                                # (R, L, 3)
+    ftex_ids = row[..., 4 * l:6 * l].astype(jnp.int32).reshape(
+        row.shape[:-1] + (l, 2))                                # (R, L, 2)
+    wtex_ids = row[..., 6 * l:7 * l].astype(jnp.int32)          # (R, L)
+
+    r = kind.shape[0]
 
     def ev_s(ids: Array) -> Array:
         flat = eval_stex(
@@ -463,7 +473,11 @@ def emitted_radiance(scene: FlatScene, mat_id: Array, uv: Array,
     """Le = emittance * DiffuseEDF (1/pi on the emitting side). (R, S).
 
     cos_out: dot(dir_out, shading normal) at the emitter."""
-    emit_tex = scene.materials.emit_stex[mat_id]
+    from ..core.tables import onehot_fetch, pack_columns
+
+    emit_tex = onehot_fetch(
+        pack_columns(scene.materials.emit_stex), mat_id
+    )[..., 0].astype(jnp.int32)
     m = eval_stex(scene.stex, emit_tex, uv, lambdas)
     le = m * (1.0 / jnp.pi)
     visible = (cos_out > 0.0) & (emit_tex >= 0)

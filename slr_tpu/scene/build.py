@@ -603,6 +603,29 @@ class SceneBuilder:
         else:
             atlas = np.zeros((0, 1, 1, 4), np.float32)
             image_hw = np.zeros((0, 2), np.int32)
+        if self.spectral:
+            # Pre-tabulate CONSTANT spectral textures into per-nm curves
+            # (exact: the Meng-Simon basis is piecewise linear with 5nm
+            # knots). Renders of scenes without image/checker/voronoi
+            # spectra then skip the grid machinery entirely (has_const).
+            from ..spectrum.spectral import (
+                WL_HI as _hi,
+                WL_LO as _lo,
+                upsample_tabulate_host,
+            )
+
+            grid = np.linspace(_lo, _hi, int(round(_hi - _lo)) + 1)
+            for st in stexs:
+                if st.kind == STexKind.CONST:
+                    vals = upsample_tabulate_host(
+                        float(st.value[0]), float(st.value[1]),
+                        float(st.value[2]), grid,
+                    )
+                    st.kind = STexKind.CURVE
+                    st.curve_id = self.add_curve(grid, vals)
+                    st.value = np.zeros_like(st.value)
+                    st.value[0] = 1.0
+
         if self.curves:
             from ..spectrum.spectral import WL_HI, WL_LO
 
@@ -641,6 +664,7 @@ class SceneBuilder:
             ) or any(t.kind == FTexKind.CHECKER for t in ftexs),
             has_voronoi=any(t.kind == STexKind.VORONOI for t in stexs),
             has_curve=any(t.kind == STexKind.CURVE for t in stexs),
+            has_const=any(t.kind == STexKind.CONST for t in stexs),
         )
         ftex = FloatTextures(
             kind=jnp.asarray([t.kind for t in ftexs], jnp.int32),

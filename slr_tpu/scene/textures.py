@@ -197,25 +197,40 @@ def eval_spectrum_texture_spectral(
     RGB texels and converts on the fly (sRGB->uvs->basis spectra); VORONOI
     draws a cell RGB and upsamples (voronoi_textures.cpp:75-80).
     """
+    from ..core.tables import onehot_fetch, pack_columns
     from ..spectrum.spectral import rgb_to_spectrum, upsample_eval
 
     tid = jnp.clip(tex_id, 0, stex.kind.shape[0] - 1)
-    kind = stex.kind[tid]
-    tc = uv * stex.map_scale[tid] + stex.map_offset[tid]
+    s_val = stex.value.shape[-1]
+    row = onehot_fetch(
+        pack_columns(stex.kind, stex.map_scale, stex.map_offset, stex.value,
+                     stex.value2, stex.curve_id, stex.image_id),
+        tid,
+    )
+    kind = row[..., 0].astype(jnp.int32)
+    tc = uv * row[..., 1:3] + row[..., 3:5]
+    value = row[..., 5:5 + s_val]
+    value2 = row[..., 5 + s_val:5 + 2 * s_val]
+    curve_id = row[..., 5 + 2 * s_val].astype(jnp.int32)
+    image_id = row[..., 6 + 2 * s_val].astype(jnp.int32)
 
     def upsample_uvs(uvs: Array) -> Array:
         return upsample_eval(uvs[..., 0], uvs[..., 1], uvs[..., 2], lambdas)
 
-    out = upsample_uvs(stex.value[tid])  # CONST path
+    if stex.has_const:
+        out = upsample_uvs(value)  # CONST path
+    else:
+        # Build pre-tabulated every CONST spectrum into a per-nm curve, so
+        # no row needs the grid machinery (compute-all would pay it for
+        # every lane otherwise).
+        out = jnp.zeros(tid.shape + (lambdas.shape[-1],), jnp.float32)
 
     if stex.has_checker:
         sel = jnp.mod(
             (tc[..., 0] * 2).astype(jnp.int32)
             + (tc[..., 1] * 2).astype(jnp.int32), 2
         )
-        checker_uvs = jnp.where(
-            (sel == 0)[..., None], stex.value[tid], stex.value2[tid]
-        )
+        checker_uvs = jnp.where((sel == 0)[..., None], value, value2)
         out = jnp.where(
             (kind == STexKind.CHECKER)[..., None], upsample_uvs(checker_uvs), out
         )
@@ -238,7 +253,7 @@ def eval_spectrum_texture_spectral(
         win = jnp.stack([cv[:, int(s):int(s) + cw] for s in cstarts], axis=1)
         win = win.reshape(k_n, n * cw)
 
-        cid = jnp.clip(stex.curve_id[tid], 0, k_n - 1)
+        cid = jnp.clip(curve_id, 0, k_n - 1)
         r = cid.shape[0]
         one_hot = (
             jax.lax.broadcasted_iota(jnp.int32, (r, k_n), 1) == cid[:, None]
@@ -257,14 +272,14 @@ def eval_spectrum_texture_spectral(
             + (wiota == loc_hi) * frac[..., None]
         )
         curve = jnp.sum(crow * selw, axis=-1)
-        curve = curve * stex.value[tid][..., 0:1]  # scale stored in value[0]
+        curve = curve * value[..., 0:1]  # scale stored in value[0]
         out = jnp.where((kind == STexKind.CURVE)[..., None], curve, out)
 
     if stex.images.shape[0] > 0:
         rgba = _image_fetch(
-            stex.images, stex.image_hw, stex.image_id[tid], tc[..., 0], tc[..., 1]
+            stex.images, stex.image_hw, image_id, tc[..., 0], tc[..., 1]
         )
-        img_spec = rgb_to_spectrum(rgba[..., :3], lambdas) * stex.value[tid][..., 2:3]
+        img_spec = rgb_to_spectrum(rgba[..., :3], lambdas) * value[..., 2:3]
         out = jnp.where((kind == STexKind.IMAGE)[..., None], img_spec, out)
 
     if stex.has_voronoi:
@@ -275,8 +290,7 @@ def eval_spectrum_texture_spectral(
         )
         is_vor = kind == STexKind.VORONOI
         vor = rgb_to_spectrum(
-            _voronoi_rgb(p3, stex.value[tid][..., 0], stex.value2[tid][..., 0]),
-            lambdas,
+            _voronoi_rgb(p3, value[..., 0], value2[..., 0]), lambdas
         )
         out = jnp.where(is_vor[..., None], vor, out)
 
@@ -301,29 +315,41 @@ def eval_stex(
 def _eval_ftex_base(ftex: FloatTextures, tid: Array, uv: Array,
                     images: Array | None, image_hw: Array | None,
                     wpos: Array | None) -> Array:
-    """Evaluate the non-recursive float-texture kinds at table rows `tid`."""
-    kind = ftex.kind[tid]
-    tc = uv * ftex.map_scale[tid] + ftex.map_offset[tid]
+    """Evaluate the non-recursive float-texture kinds at table rows `tid`.
+    All per-row attributes arrive via ONE one-hot row fetch
+    (core/tables.py) instead of seven element-gathers."""
+    from ..core.tables import onehot_fetch, pack_columns
 
-    out = ftex.value[tid]  # CONST
+    row = onehot_fetch(
+        pack_columns(ftex.kind, ftex.value, ftex.value2, ftex.map_scale,
+                     ftex.map_offset, ftex.image_id),
+        tid,
+    )
+    kind = row[..., 0].astype(jnp.int32)
+    value = row[..., 1]
+    value2 = row[..., 2]
+    tc = uv * row[..., 3:5] + row[..., 5:7]
+    image_id = row[..., 7].astype(jnp.int32)
+
+    out = value  # CONST
     sel = jnp.mod(
         (tc[..., 0] * 2).astype(jnp.int32) + (tc[..., 1] * 2).astype(jnp.int32), 2
     )
-    checker = jnp.where(sel == 0, ftex.value[tid], ftex.value2[tid])
+    checker = jnp.where(sel == 0, value, value2)
     out = jnp.where(kind == FTexKind.CHECKER, checker, out)
     if ftex.has_image and images is not None and images.shape[0] > 0:
-        rgba = _image_fetch(images, image_hw, ftex.image_id[tid],
+        rgba = _image_fetch(images, image_hw, image_id,
                             tc[..., 0], tc[..., 1])
         lum = (0.2126 * rgba[..., 0] + 0.7152 * rgba[..., 1]
                + 0.0722 * rgba[..., 2])
-        chan = jnp.where(ftex.value2[tid] >= 3.0, rgba[..., 3], lum)
-        out = jnp.where(kind == FTexKind.IMAGE, chan * ftex.value[tid], out)
+        chan = jnp.where(value2 >= 3.0, rgba[..., 3], lum)
+        out = jnp.where(kind == FTexKind.IMAGE, chan * value, out)
     if ftex.has_voronoi:
         p3 = (wpos if wpos is not None
               else jnp.concatenate([tc, jnp.zeros_like(tc[..., :1])], axis=-1))
-        seed, _ = voronoi_cell_feature(p3, ftex.value2[tid])
+        seed, _ = voronoi_cell_feature(p3, value2)
         _, f = _lcg_next(seed)
-        out = jnp.where(kind == FTexKind.VORONOI, f * ftex.value[tid], out)
+        out = jnp.where(kind == FTexKind.VORONOI, f * value, out)
     return out
 
 

@@ -105,6 +105,11 @@ class SpectrumTextures(struct.PyTreeNode):
     has_checker: bool = struct.field(pytree_node=False, default=False)
     has_voronoi: bool = struct.field(pytree_node=False, default=False)
     has_curve: bool = struct.field(pytree_node=False, default=False)
+    # Any CONST rows left in spectral mode? Build pre-tabulates constant
+    # spectra into per-nm curves (exact: basis knots are 5nm), so spectral
+    # scenes normally skip the whole Meng-Simon grid machinery at render
+    # time; image/checker/voronoi textures still need it.
+    has_const: bool = struct.field(pytree_node=False, default=True)
 
 
 class FloatTextures(struct.PyTreeNode):

@@ -351,6 +351,67 @@ def upsample_eval(u: Array, v: Array, scale: Array, lambdas: Array) -> Array:
     return val.reshape(*lead, n)
 
 
+def upsample_tabulate_host(u: float, v: float, scale: float,
+                           lam_grid: np.ndarray) -> np.ndarray:
+    """Host-side (numpy) evaluation of one upsampled spectrum on a dense
+    wavelength grid — used at scene build to pre-tabulate CONSTANT spectral
+    textures into per-nm curves (the basis spectra are piecewise-linear with
+    exactly 5nm knots, so a per-nm resample is exact). Direct port of
+    UpsampledContinuousSpectrum::evaluate (SpectrumTypes.h:239-339)."""
+    t = upsampling_tables()
+    if not (0 <= u < GRID_W and 0 <= v < GRID_H):
+        return np.zeros_like(lam_grid, dtype=np.float32)
+    ui, vi = int(u), int(v)
+    cell = ui + GRID_W * vi
+    inside = int(t["inside"][cell]) == 1
+    num_points = int(t["num_points"][cell])
+    idx = t["idx"][cell]
+    spectra = t["dp_spectra"]
+
+    if inside:
+        s, tt = u - ui, v - vi
+        pts = [
+            (idx[0], (1 - s) * (1 - tt)),
+            (idx[1], s * (1 - tt)),
+            (idx[2], (1 - s) * tt),
+            (idx[3], s * tt),
+        ]
+    else:
+        dp_uv = t["dp_uv"]
+        p0 = dp_uv[idx[0]]
+        ex, ey = u - p0[0], v - p0[1]
+        e_prev = dp_uv[idx[1]] - p0
+        uu = e_prev[0] * ey - ex * e_prev[1]
+        pts = None
+        for i in range(1, max(num_points, 1)):
+            sel_slot = i % max(num_points - 1, 1) + 1
+            sel = idx[sel_slot]
+            e1 = dp_uv[sel] - p0
+            vv = ex * e1[1] - e1[0] * ey
+            area = e_prev[0] * e1[1] - e1[0] * e_prev[1]
+            if area != 0:
+                bu, bv = uu / area, vv / area
+                bw = 1.0 - bu - bv
+                if bu >= -1e-6 and bv >= -1e-6 and bw >= -1e-6:
+                    pts = [(sel, bu), (idx[min(i, MAX_FAN - 1)], bv),
+                           (idx[0], bw)]
+                    break
+            uu = -vv
+            e_prev = e1
+        if pts is None:
+            return np.zeros_like(lam_grid, dtype=np.float32)
+
+    basis = sum(w * spectra[p] for p, w in pts)
+    c = spectra.shape[1]
+    x = np.clip((lam_grid - WL_LO) / (WL_HI - WL_LO), 0.0, 1.0) * (c - 1)
+    xi = np.minimum(x.astype(np.int32), c - 1)
+    xn = np.minimum(xi + 1, c - 1)
+    frac = x - xi
+    return (basis[xi] * (1 - frac) + basis[xn] * frac).astype(
+        np.float32
+    ) * np.float32(scale)
+
+
 def rgb_to_spectrum(rgb: Array, lambdas: Array, illuminant: bool = False) -> Array:
     """Full RGB -> spectrum chain for reflectance-type inputs.
 
