@@ -10,12 +10,13 @@ file on this machine's CPU — 392 ksamples/s at 256 spp (BASELINE.md,
 "Measured (round 2)"). Both renderers run the same estimator family
 (spectral PT, NEE+MIS, RR), so pixel samples/s tracks time-to-quality.
 
-Depth: the reference runs RR-unbounded paths (cap 100); ours uses
-max_depth=16 with the same RR, which the RR survival rate makes
-statistically indistinguishable on this scene (mean path length ~3).
+Depth: the reference's own semantics — RR-unbounded paths with cap 100
+(PathTracingRenderer.cpp:160). The persistent-wavefront scheduler with a
+dynamic work queue (render/wavefront.py) makes the cap affordable: depth
+no longer costs padded iterations.
 
-Uses the per-pass jitted `render` with a persistent compilation cache so
-repeated driver runs skip the remote XLA compile.
+Uses a persistent compilation cache so repeated driver runs skip the
+remote XLA compile.
 """
 from __future__ import annotations
 
@@ -38,26 +39,28 @@ def main() -> None:
                       os.path.join(REPO, ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from slr_tpu.render.pt import render
+    from slr_tpu.render.wavefront import render_wavefront
     from slr_tpu.scene.api import load_scene
 
-    width, height, spp, max_depth = 256, 192, 64, 16
+    width, height, spp, max_depth = 256, 192, 64, 100
     scene, _, _ = load_scene(SCENE, spectral=True)
 
     # Warm-up / compile.
-    img = render(scene, width, height, spp=2, max_depth=max_depth)
+    img = render_wavefront(scene, width, height, spp=2, max_depth=max_depth)
     img.block_until_ready()
 
     t0 = time.perf_counter()
-    img = render(scene, width, height, spp=spp, max_depth=max_depth, seed=1)
+    img, iters = render_wavefront(scene, width, height, spp=spp,
+                                  max_depth=max_depth, seed=1,
+                                  return_iters=True)
     img.block_until_ready()
     dt = time.perf_counter() - t0
 
     n_pix = width * height
     ksamples = n_pix * spp / dt / 1e3
-    # Secondary figure: actual ray casts (camera + per bounce: closest-hit +
-    # one shared NEE shadow cast), not counting RR-terminated idle lanes.
-    mrays = n_pix * spp * (1 + 2 * max_depth) / dt / 1e6
+    # Secondary figure: actual ray casts — each wavefront iteration performs
+    # one closest-hit and one NEE shadow cast per lane.
+    mrays = n_pix * iters * 2 / dt / 1e6
 
     print(
         json.dumps(

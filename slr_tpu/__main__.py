@@ -31,7 +31,8 @@ def main() -> None:
                     "(sppm/amcmcppm: progressive photon mapping)")
     ap.add_argument("--format", choices=("png", "bmp"), default="png",
                     help="image output format (bmp matches the reference)")
-    ap.add_argument("--max-depth", type=int, default=16)
+    ap.add_argument("--max-depth", type=int, default=100,
+                help="path cap; the reference PT caps at 100 with RR (PathTracingRenderer.cpp:160)")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="write a jax.profiler trace of the first pass to DIR")
@@ -63,7 +64,6 @@ def main() -> None:
     import numpy as np
 
     from .render.film import develop, save_bmp, save_png
-    from .render.pt import render
     from .scene.api import load_scene
 
     ext = args.format
@@ -123,9 +123,14 @@ def main() -> None:
 
             return np.asarray(render_bpt(scene, width, height, spp=step,
                                          seed=rng_seed, sample_offset=offset))
-        return np.asarray(render(scene, width, height, spp=step,
-                                 seed=rng_seed, max_depth=args.max_depth,
-                                 sample_offset=offset))
+        # The shipped PT is the persistent-wavefront scheduler at the
+        # reference's depth semantics (cap 100 + RR); the fixed-depth
+        # pass renderer in render/pt.py remains the differentiable path.
+        from .render.wavefront import render_wavefront
+
+        return np.asarray(render_wavefront(
+            scene, width, height, spp=step, seed=rng_seed,
+            max_depth=args.max_depth, sample_offset=offset))
 
     # Progressive power-of-2 exports like the reference, with a resumable
     # film checkpoint at every export (utils/checkpoint.py).

@@ -51,6 +51,99 @@ def _tri_vertices(geom: Geometry, tri: Array):
     return vidx, p0, p1, p2
 
 
+# ---------------------------------------------------------------------------
+# Packed per-triangle shading table
+# ---------------------------------------------------------------------------
+# TPU lowers per-lane gathers to the scalar core (~0.2 ms per 49k-lane gather
+# on v5e); the SoA vertex indirection costs ~15 of them per cast. Packing all
+# per-hit attributes into ONE (T, 40) row makes surface-point resolution a
+# single row gather + slices.
+TRI_TABLE_COLS = 40
+# column layout:
+#  0:3 p0 | 3:6 e01 | 6:9 e02 | 9:12 n0 | 12:15 n1 | 15:18 n2
+# 18:21 t0 | 21:24 t1 | 24:27 t2 | 27:29 uv0 | 29:31 uv1 | 31:33 uv2
+# 33 mat_id | 34 inv_area | 35 alpha_ftex | 36 ntex | 37:40 gn (normalized)
+
+
+def build_tri_table(positions, normals, tangents, uvs, tri_vidx, tri_mat,
+                    tri_alpha, tri_ntex):
+    """Host-side (numpy) construction of the packed per-tri table."""
+    import numpy as np
+
+    p = np.asarray(positions, np.float32)
+    n = np.asarray(normals, np.float32)
+    tg = np.asarray(tangents, np.float32)
+    uv = np.asarray(uvs, np.float32)
+    v = np.asarray(tri_vidx, np.int64)
+    t = v.shape[0]
+    tab = np.zeros((max(t, 1), TRI_TABLE_COLS), np.float32)
+    if t == 0:
+        return tab
+    p0, p1, p2 = p[v[:, 0]], p[v[:, 1]], p[v[:, 2]]
+    e01, e02 = p1 - p0, p2 - p0
+    gn = np.cross(e01, e02)
+    nrm = np.linalg.norm(gn, axis=-1)
+    area = 0.5 * nrm
+    gn = gn / np.maximum(nrm, 1e-20)[:, None]
+    tab[:, 0:3] = p0
+    tab[:, 3:6] = e01
+    tab[:, 6:9] = e02
+    tab[:, 9:12] = n[v[:, 0]]
+    tab[:, 12:15] = n[v[:, 1]]
+    tab[:, 15:18] = n[v[:, 2]]
+    tab[:, 18:21] = tg[v[:, 0]]
+    tab[:, 21:24] = tg[v[:, 1]]
+    tab[:, 24:27] = tg[v[:, 2]]
+    tab[:, 27:29] = uv[v[:, 0]]
+    tab[:, 29:31] = uv[v[:, 1]]
+    tab[:, 31:33] = uv[v[:, 2]]
+    tab[:, 33] = np.asarray(tri_mat, np.float32)
+    tab[:, 34] = 1.0 / np.maximum(area, 1e-20)
+    tab[:, 35] = np.asarray(tri_alpha, np.float32)
+    tab[:, 36] = (np.asarray(tri_ntex, np.float32)
+                  if tri_ntex is not None else -1.0)
+    tab[:, 37:40] = gn
+    return tab
+
+
+class TriRow(NamedTuple):
+    """Slices of one fetched tri-table row (all shapes (R, ...))."""
+
+    p0: Array
+    e01: Array
+    e02: Array
+    n0: Array
+    n1: Array
+    n2: Array
+    t0: Array
+    t1: Array
+    t2: Array
+    uv0: Array
+    uv1: Array
+    uv2: Array
+    mat_id: Array    # int32
+    inv_area: Array
+    alpha_id: Array  # int32
+    ntex_id: Array   # int32
+    gn: Array
+
+
+def fetch_tri_row(table: Array, tri: Array) -> TriRow:
+    """One row gather + slices. tri must already be clamped >= 0."""
+    row = table[tri]  # (R, 40)
+    return TriRow(
+        p0=row[..., 0:3], e01=row[..., 3:6], e02=row[..., 6:9],
+        n0=row[..., 9:12], n1=row[..., 12:15], n2=row[..., 15:18],
+        t0=row[..., 18:21], t1=row[..., 21:24], t2=row[..., 24:27],
+        uv0=row[..., 27:29], uv1=row[..., 29:31], uv2=row[..., 31:33],
+        mat_id=row[..., 33].astype(jnp.int32),
+        inv_area=row[..., 34],
+        alpha_id=row[..., 35].astype(jnp.int32),
+        ntex_id=row[..., 36].astype(jnp.int32),
+        gn=row[..., 37:40],
+    )
+
+
 def moller_trumbore(
     o: Array, d: Array, p0: Array, p1: Array, p2: Array, tmin, tmax
 ) -> tuple[Array, Array, Array, Array]:
@@ -155,27 +248,12 @@ def any_hit_brute(
     return hit.mask
 
 
-def resolve_surface_point(geom: Geometry, hit: Hit, o: Array, d: Array
-                          ) -> SurfacePoint:
-    """Reference Triangle::getSurfacePoint (TriangleMesh.cpp:180-215):
-    barycentric shading normal/tangent with re-orthogonalization."""
-    tri = jnp.maximum(hit.tri, 0)
-    vidx, p0, p1, p2 = _tri_vertices(geom, tri)
-    b0 = hit.b0[..., None]
-    b1 = hit.b1[..., None]
+def _finish_surface_point(p, gn, n0, n1, n2, t0, t1, t2, uv0, uv1, uv2,
+                          mat_id, area_pdf, b0, b1) -> SurfacePoint:
+    """Shared barycentric interpolation + tangent re-orthogonalization
+    (Triangle::getSurfacePoint, TriangleMesh.cpp:180-215)."""
     b2 = 1.0 - b0 - b1
-    # Missed lanes carry t = inf; clamp so masked-out lanes stay finite
-    # (inf positions poison reverse-mode AD through jnp.where).
-    t_safe = jnp.where(hit.mask, hit.t, 1.0)
-    p = o + d * t_safe[..., None]
-    gn = normalize(cross(p1 - p0, p2 - p0))
-    n0 = geom.normals[vidx[..., 0]]
-    n1 = geom.normals[vidx[..., 1]]
-    n2 = geom.normals[vidx[..., 2]]
     sn = normalize(b0 * n0 + b1 * n1 + b2 * n2)
-    t0 = geom.tangents[vidx[..., 0]]
-    t1 = geom.tangents[vidx[..., 1]]
-    t2 = geom.tangents[vidx[..., 2]]
     tangent = normalize(b0 * t0 + b1 * t1 + b2 * t2)
     dot_nt = dot(sn, tangent)
     tangent = jnp.where(
@@ -183,22 +261,46 @@ def resolve_surface_point(geom: Geometry, hit: Hit, o: Array, d: Array
         normalize(tangent - dot_nt[..., None] * sn),
         tangent,
     )
-    bitangent = cross(sn, tangent)
-    uv0 = geom.uvs[vidx[..., 0]]
-    uv1 = geom.uvs[vidx[..., 1]]
-    uv2 = geom.uvs[vidx[..., 2]]
-    uv = b0 * uv0 + b1 * uv1 + b2 * uv2
-    area = 0.5 * jnp.linalg.norm(cross(p1 - p0, p2 - p0), axis=-1)
     return SurfacePoint(
         p=p,
         gn=gn,
         sn=sn,
         tangent=tangent,
-        bitangent=bitangent,
-        uv=uv,
-        mat_id=geom.tri_mat[tri],
-        area_pdf=1.0 / jnp.maximum(area, 1e-20),
+        bitangent=cross(sn, tangent),
+        uv=b0 * uv0 + b1 * uv1 + b2 * uv2,
+        mat_id=mat_id,
+        area_pdf=area_pdf,
     )
+
+
+def resolve_surface_point(geom: Geometry, hit: Hit, o: Array, d: Array
+                          ) -> SurfacePoint:
+    """Reference Triangle::getSurfacePoint (TriangleMesh.cpp:180-215):
+    barycentric shading normal/tangent with re-orthogonalization."""
+    tri = jnp.maximum(hit.tri, 0)
+    b0 = hit.b0[..., None]
+    b1 = hit.b1[..., None]
+    # Missed lanes carry t = inf; clamp so masked-out lanes stay finite
+    # (inf positions poison reverse-mode AD through jnp.where).
+    t_safe = jnp.where(hit.mask, hit.t, 1.0)
+    p = o + d * t_safe[..., None]
+    if geom.tri_table is not None:
+        r = fetch_tri_row(geom.tri_table, tri)
+        return _finish_surface_point(
+            p, r.gn, r.n0, r.n1, r.n2, r.t0, r.t1, r.t2,
+            r.uv0, r.uv1, r.uv2, r.mat_id, r.inv_area, b0, b1)
+    vidx, p0, p1, p2 = _tri_vertices(geom, tri)
+    gn = normalize(cross(p1 - p0, p2 - p0))
+    area = 0.5 * jnp.linalg.norm(cross(p1 - p0, p2 - p0), axis=-1)
+    return _finish_surface_point(
+        p, gn,
+        geom.normals[vidx[..., 0]], geom.normals[vidx[..., 1]],
+        geom.normals[vidx[..., 2]],
+        geom.tangents[vidx[..., 0]], geom.tangents[vidx[..., 1]],
+        geom.tangents[vidx[..., 2]],
+        geom.uvs[vidx[..., 0]], geom.uvs[vidx[..., 1]],
+        geom.uvs[vidx[..., 2]],
+        geom.tri_mat[tri], 1.0 / jnp.maximum(area, 1e-20), b0, b1)
 
 
 def sample_triangle_point(geom: Geometry, tri: Array, u0: Array, u1: Array
@@ -207,40 +309,26 @@ def sample_triangle_point(geom: Geometry, tri: Array, u0: Array, u1: Array
     TriangleMesh.cpp:224-255). tri: (R,) ids; returns SurfacePoint."""
     from ..core.sampling import uniform_sample_triangle
 
-    vidx, p0, p1, p2 = _tri_vertices(geom, tri)
     b0, b1 = uniform_sample_triangle(u0, u1)
     b0 = b0[..., None]
     b1 = b1[..., None]
     b2 = 1.0 - b0 - b1
+    if geom.tri_table is not None:
+        r = fetch_tri_row(geom.tri_table, tri)
+        p = r.p0 + b1 * r.e01 + b2 * r.e02
+        return _finish_surface_point(
+            p, r.gn, r.n0, r.n1, r.n2, r.t0, r.t1, r.t2,
+            r.uv0, r.uv1, r.uv2, r.mat_id, r.inv_area, b0, b1)
+    vidx, p0, p1, p2 = _tri_vertices(geom, tri)
     p = b0 * p0 + b1 * p1 + b2 * p2
     gn = normalize(cross(p1 - p0, p2 - p0))
-    n0 = geom.normals[vidx[..., 0]]
-    n1 = geom.normals[vidx[..., 1]]
-    n2 = geom.normals[vidx[..., 2]]
-    sn = normalize(b0 * n0 + b1 * n1 + b2 * n2)
-    t0 = geom.tangents[vidx[..., 0]]
-    t1 = geom.tangents[vidx[..., 1]]
-    t2 = geom.tangents[vidx[..., 2]]
-    tangent = normalize(b0 * t0 + b1 * t1 + b2 * t2)
-    dot_nt = dot(sn, tangent)
-    tangent = jnp.where(
-        (jnp.abs(dot_nt) >= 0.01)[..., None],
-        normalize(tangent - dot_nt[..., None] * sn),
-        tangent,
-    )
-    bitangent = cross(sn, tangent)
-    uv0 = geom.uvs[vidx[..., 0]]
-    uv1 = geom.uvs[vidx[..., 1]]
-    uv2 = geom.uvs[vidx[..., 2]]
-    uv = b0 * uv0 + b1 * uv1 + b2 * uv2
     area = 0.5 * jnp.linalg.norm(cross(p1 - p0, p2 - p0), axis=-1)
-    return SurfacePoint(
-        p=p,
-        gn=gn,
-        sn=sn,
-        tangent=tangent,
-        bitangent=bitangent,
-        uv=uv,
-        mat_id=geom.tri_mat[tri],
-        area_pdf=1.0 / jnp.maximum(area, 1e-20),
-    )
+    return _finish_surface_point(
+        p, gn,
+        geom.normals[vidx[..., 0]], geom.normals[vidx[..., 1]],
+        geom.normals[vidx[..., 2]],
+        geom.tangents[vidx[..., 0]], geom.tangents[vidx[..., 1]],
+        geom.tangents[vidx[..., 2]],
+        geom.uvs[vidx[..., 0]], geom.uvs[vidx[..., 1]],
+        geom.uvs[vidx[..., 2]],
+        geom.tri_mat[tri], 1.0 / jnp.maximum(area, 1e-20), b0, b1)

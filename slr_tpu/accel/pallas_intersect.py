@@ -525,7 +525,8 @@ def _pack_rays(o, d, tmin_a, tmax_a, rb=RB):
     r = o.shape[0]
     nb = -(-r // rb)
     pad = nb * rb - r
-    m = jnp.cross(o, d)
+    from ..core.math3d import cross as _cross3
+    m = _cross3(o, d)
     ones = jnp.ones((r, 1), jnp.float32)
     zeros = jnp.zeros((r, ROWS - 12), jnp.float32)
     rays = jnp.concatenate(
@@ -607,10 +608,18 @@ def intersect_pallas(
     mask = (tri >= 0) & (best_t < T_FAR) & (best_t < tmax_a * (1.0 + 1e-6))
 
     tri_c = jnp.maximum(tri, 0)
-    vidx = geom.tri_vidx[tri_c]
-    p0 = geom.positions[vidx[:, 0]]
-    p1 = geom.positions[vidx[:, 1]]
-    p2 = geom.positions[vidx[:, 2]]
+    if geom.tri_table is not None:
+        # Single packed-row gather (see intersect.TRI_TABLE_COLS) instead of
+        # the 4-gather vertex indirection.
+        row = geom.tri_table[tri_c]
+        p0 = row[:, 0:3]
+        p1 = p0 + row[:, 3:6]
+        p2 = p0 + row[:, 6:9]
+    else:
+        vidx = geom.tri_vidx[tri_c]
+        p0 = geom.positions[vidx[:, 0]]
+        p1 = geom.positions[vidx[:, 1]]
+        p2 = geom.positions[vidx[:, 2]]
     t_mt, b1, b2, _ = moller_trumbore(o, d, p0, p1, p2, 0.0, jnp.inf)
     b1 = jnp.clip(b1, 0.0, 1.0)
     b2 = jnp.clip(b2, 0.0, 1.0)

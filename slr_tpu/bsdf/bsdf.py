@@ -18,7 +18,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..core.math3d import Array
+from ..core.math3d import Array, dot as _dot3
 from ..scene.textures import (
     eval_float_texture,
     eval_float_texture_default1,
@@ -237,7 +237,7 @@ def _side_match(kind: Array, wo: Array, wi: Array, gn: Array) -> Array:
     FLIPPED_LAMBERT (InverseBSDF) scatters into the opposite hemisphere, so
     it matches when wi is on the transmission side."""
     reflect = (
-        jnp.sum(wo * gn, axis=-1) * jnp.sum(wi * gn, axis=-1) > 0.0
+        _dot3(wo, gn) * _dot3(wi, gn) > 0.0
     )[:, None]
     refl_only = jnp.zeros(kind.shape, bool)
     for k in lb_mod.REFLECTION_ONLY:
@@ -254,13 +254,13 @@ def _side_match(kind: Array, wo: Array, wi: Array, gn: Array) -> Array:
 def _sn_correction(wi: Array, gn: Array) -> Array:
     """Veach shading-normal correction |wi.z| / |dot(wi, gN_sn)| (h:235-237),
     non-adjoint (radiance transport)."""
-    d = jnp.abs(jnp.sum(wi * gn, axis=-1))
+    d = jnp.abs(_dot3(wi, gn))
     return jnp.abs(wi[..., 2]) / jnp.maximum(d, 1e-6)
 
 
 def _sn_correction_dir(v: Array, gn: Array) -> Array:
     return jnp.abs(v[..., 2]) / jnp.maximum(
-        jnp.abs(jnp.sum(v * gn, axis=-1)), 1e-6
+        jnp.abs(_dot3(v, gn)), 1e-6
     )
 
 
@@ -330,20 +330,34 @@ def bsdf_sample(
     idx = jnp.minimum(
         jnp.sum((cdf <= target[:, None]).astype(jnp.int32), axis=-1), l - 1
     )
-    base = jnp.where(idx > 0, jnp.take_along_axis(cdf, jnp.maximum(idx - 1, 0)[:, None], axis=-1)[:, 0], 0.0)
-    w_sel = jnp.take_along_axis(w, idx[:, None], axis=-1)[:, 0]
+    # One-hot contractions over the (tiny) lobe axis instead of
+    # take_along_axis: TPU lowers per-lane gathers to the scalar core.
+    iota_l = jnp.arange(l, dtype=jnp.int32)
+    oh = idx[:, None] == iota_l                       # (R, L)
+    oh_prev = (idx - 1)[:, None] == iota_l
+
+    def take1(x):
+        return jnp.sum(jnp.where(oh, x, jnp.zeros_like(x)), axis=-1)
+
+    def take1s(x):  # (R, L, S) -> (R, S)
+        return jnp.sum(jnp.where(oh[..., None], x, 0.0), axis=1)
+
+    base = jnp.where(
+        idx > 0, jnp.sum(jnp.where(oh_prev, cdf, 0.0), axis=-1), 0.0
+    )
+    w_sel = take1(w)
     u_remap = jnp.clip((target - base) / jnp.maximum(w_sel, 1e-30), 0.0, 1.0 - 1e-7)
 
     picked = LobeBatch(
-        kind=jnp.take_along_axis(lobes.kind, idx[:, None], axis=-1)[:, 0],
-        s0=jnp.take_along_axis(lobes.s0, idx[:, None, None], axis=1)[:, 0],
-        s1=jnp.take_along_axis(lobes.s1, idx[:, None, None], axis=1)[:, 0],
-        s2=jnp.take_along_axis(lobes.s2, idx[:, None, None], axis=1)[:, 0],
-        f0=jnp.take_along_axis(lobes.f0, idx[:, None], axis=-1)[:, 0],
-        f1=jnp.take_along_axis(lobes.f1, idx[:, None], axis=-1)[:, 0],
+        kind=take1(lobes.kind),
+        s0=take1s(lobes.s0),
+        s1=take1s(lobes.s1),
+        s2=take1s(lobes.s2),
+        f0=take1(lobes.f0),
+        f1=take1(lobes.f1),
         kinds=lobes.kinds,
     )
-    front = jnp.sum(wo * gn, axis=-1) > 0.0
+    front = _dot3(wo, gn) > 0.0
 
     # Sample every PRESENT kind, select by the picked lobe's kind (params
     # sanitized per kind so unselected branches stay AD-safe). Absent kinds
@@ -416,9 +430,7 @@ def bsdf_sample(
     # Combined pdf & fs for non-delta picks (MultiBSDF.cpp:35-56).
     pdf = pdf_sel * w_sel
     pdfs_all = _pdf_internal_all(lobes, wo, wi, hero)
-    pdf_others = jnp.sum(pdfs_all * w, axis=-1) - jnp.take_along_axis(
-        pdfs_all, idx[:, None], axis=-1
-    )[:, 0] * w_sel
+    pdf_others = jnp.sum(pdfs_all * w, axis=-1) - take1(pdfs_all) * w_sel
     pdf = jnp.where(is_delta, pdf, pdf + pdf_others)
     pdf = pdf / jnp.maximum(sum_w, 1e-30)
 
@@ -452,7 +464,7 @@ def bsdf_sample(
     # query direction (or wo as its sampled direction).
     w_rev = lobe_weights(lobes, wi, hero)
     sum_w_rev = jnp.sum(w_rev, axis=-1)
-    w_rev_sel = jnp.take_along_axis(w_rev, idx[:, None], axis=-1)[:, 0]
+    w_rev_sel = take1(w_rev)
     rev_pdf = jnp.where(
         is_delta & (sum_w_rev > 0),
         rev_pdf_lobe * w_rev_sel / jnp.maximum(sum_w_rev, 1e-30),
@@ -485,4 +497,8 @@ def emitted_radiance(scene: FlatScene, mat_id: Array, uv: Array,
 
 
 def is_emissive(mats: Materials, mat_id: Array) -> Array:
+    m = mats.emit_stex.shape[0]
+    if m <= 1024:
+        oh = mat_id[..., None] == jnp.arange(m, dtype=jnp.int32)
+        return jnp.any(oh & (mats.emit_stex >= 0), axis=-1)
     return mats.emit_stex[mat_id] >= 0

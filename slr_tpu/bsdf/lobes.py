@@ -22,7 +22,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 from flax import struct
 
-from ..core.math3d import Array
+from ..core.math3d import Array, dot, normalize
 from ..core.sampling import cosine_sample_hemisphere
 from ..spectrum.rgb import importance
 from .fresnel import fresnel_conductor, fresnel_dielectric
@@ -86,8 +86,10 @@ DISPERSIVE_KINDS = (LobeKind.SPECULAR_SCATTERING,)
 
 
 def _hero_take(values: Array, hero: Array) -> Array:
-    """values: (B, S), hero: (B,) -> (B,)."""
-    return jnp.take_along_axis(values, hero[..., None], axis=-1)[..., 0]
+    """values: (B, S), hero: (B,) -> (B,). One-hot contraction — per-lane
+    take_along_axis lowers to the TPU scalar core (~0.25 ms per 49k lanes)."""
+    oh = jnp.arange(values.shape[-1], dtype=hero.dtype) == hero[..., None]
+    return jnp.sum(jnp.where(oh, values, 0.0), axis=-1)
 
 
 def _one_hot_hero(value_hero: Array, hero: Array, s: int) -> Array:
@@ -331,7 +333,7 @@ def ggx_D(alpha: Array, m: Array) -> Array:
 
 def ggx_smith_g1(alpha: Array, v: Array, m: Array) -> Array:
     """Smith masking G1 (cpp:266-270)."""
-    chi = (jnp.sum(v * m, axis=-1) / jnp.where(v[..., 2] == 0, 1e-12, v[..., 2])) > 0
+    chi = (dot(v, m) / jnp.where(v[..., 2] == 0, 1e-12, v[..., 2])) > 0
     cos_v = jnp.clip(v[..., 2], -1.0, 1.0)
     tan2_v = (1.0 - cos_v * cos_v) / jnp.maximum(cos_v * cos_v, 1e-12)
     g = 2.0 / (1.0 + jnp.sqrt(1.0 + alpha * alpha * tan2_v))
@@ -344,7 +346,7 @@ def ggx_sample_vndf(alpha: Array, v: Array, u0: Array, u1: Array
     slope-space method). v must have v.z > 0. Returns (m, pdf)."""
     # stretch
     sv = jnp.stack([alpha * v[..., 0], alpha * v[..., 1], v[..., 2]], axis=-1)
-    sv = sv / jnp.linalg.norm(sv, axis=-1, keepdims=True)
+    sv = normalize(sv)
     theta = jnp.arccos(jnp.clip(sv[..., 2], -1.0, 1.0))
     phi = jnp.arctan2(sv[..., 1], sv[..., 0])
     near_normal = sv[..., 2] > 0.99999
@@ -389,23 +391,23 @@ def ggx_sample_vndf(alpha: Array, v: Array, u0: Array, u1: Array
     rx = rx * alpha
     ry = ry * alpha
     m = jnp.stack([-rx, -ry, jnp.ones_like(rx)], axis=-1)
-    m = m / jnp.linalg.norm(m, axis=-1, keepdims=True)
+    m = normalize(m)
     d = ggx_D(alpha, m)
-    pdf = ggx_smith_g1(alpha, v, m) * jnp.abs(jnp.sum(v * m, axis=-1)) * d / jnp.maximum(
+    pdf = ggx_smith_g1(alpha, v, m) * jnp.abs(dot(v, m)) * d / jnp.maximum(
         jnp.abs(v[..., 2]), 1e-12
     )
     return m, pdf
 
 
 def ggx_vndf_pdf(alpha: Array, v: Array, m: Array) -> Array:
-    return ggx_smith_g1(alpha, v, m) * jnp.abs(jnp.sum(v * m, axis=-1)) * ggx_D(
+    return ggx_smith_g1(alpha, v, m) * jnp.abs(dot(v, m)) * ggx_D(
         alpha, m
     ) / jnp.maximum(jnp.abs(v[..., 2]), 1e-12)
 
 
 def _half_vector(a: Array, b: Array) -> Array:
     h = a + b
-    return h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-12)
+    return h / jnp.maximum(jnp.sqrt(dot(h, h))[..., None], 1e-12)
 
 
 # ---------------------------------------------------------------------------
@@ -417,7 +419,7 @@ def microfacet_reflection_eval(lb: LobeBatch, wo: Array, wi: Array) -> Array:
     same = wi[..., 2] * wo[..., 2] > 0
     sign = jnp.where(wo[..., 2] >= 0, 1.0, -1.0)
     m = sign[..., None] * _half_vector(wo, wi)
-    dot_hv = jnp.sum(wo * m, axis=-1)
+    dot_hv = dot(wo, m)
     d = ggx_D(alpha, m)
     f = fresnel_conductor(lb.s1, lb.s2, dot_hv)
     g = ggx_smith_g1(alpha, wo, m) * ggx_smith_g1(alpha, wi, m)
@@ -430,7 +432,7 @@ def microfacet_reflection_pdf(lb: LobeBatch, wo: Array, wi: Array) -> Array:
     same = wi[..., 2] * wo[..., 2] > 0
     sign = jnp.where(wo[..., 2] >= 0, 1.0, -1.0)
     m = sign[..., None] * _half_vector(wo, wi)
-    dot_hv = jnp.sum(wo * m, axis=-1)
+    dot_hv = dot(wo, m)
     ok = same & (dot_hv * sign > 0)
     mpdf = ggx_vndf_pdf(alpha, sign[..., None] * wo, m)
     pdf = mpdf / jnp.maximum(4.0 * dot_hv * sign, 1e-12)
@@ -449,7 +451,7 @@ def microfacet_reflection_sample(lb: LobeBatch, wo: Array, u0: Array,
     alpha = lb.f0
     sign = jnp.where(wo[..., 2] >= 0, 1.0, -1.0)
     m, mpdf = ggx_sample_vndf(alpha, sign[..., None] * wo, u0, u1)
-    dot_hv = jnp.sum(wo * m, axis=-1)
+    dot_hv = dot(wo, m)
     wi = 2.0 * dot_hv[..., None] * m - wo
     ok = (dot_hv * sign > 0) & (wi[..., 2] * wo[..., 2] > 0)
     pdf = mpdf / jnp.maximum(4.0 * dot_hv * sign, 1e-12)
@@ -475,9 +477,9 @@ def _micro_scatter_trans_fs(lb: LobeBatch, wo: Array, wi: Array,
     e_exit = jnp.where(entering, lb.s2, lb.s1)
     # m_wl = normalize(-(eEnter*wo + eExit*wi)) per channel: (B, S, 3)
     m = -(e_enter[..., None] * wo[..., None, :] + e_exit[..., None] * wi[..., None, :])
-    m = m / jnp.maximum(jnp.linalg.norm(m, axis=-1, keepdims=True), 1e-12)
-    dot_hv = jnp.sum(wo[..., None, :] * m, axis=-1)  # (B, S)
-    dot_hl = jnp.sum(wi[..., None, :] * m, axis=-1)
+    m = m / jnp.maximum(jnp.sqrt(dot(m, m))[..., None], 1e-12)
+    dot_hv = dot(wo[..., None, :], m)  # (B, S)
+    dot_hl = dot(wi[..., None, :], m)
     f = _fresnel_dielectric_scalar(e_enter, e_exit, dot_hv)
     g = (
         ggx_smith_g1(alpha, wo[..., None, :], m)
@@ -521,7 +523,7 @@ def microfacet_scattering_eval(lb: LobeBatch, wo: Array, wi: Array,
     sign = jnp.where(wo[..., 2] >= 0, 1.0, -1.0)
     # reflection side
     m = sign[..., None] * _half_vector(wo, wi)
-    dot_hv = jnp.sum(wo * m, axis=-1)
+    dot_hv = dot(wo, m)
     d = ggx_D(alpha, m)
     f = fresnel_dielectric(lb.s1, lb.s2, dot_hv)
     g = ggx_smith_g1(alpha, wo, m) * ggx_smith_g1(alpha, wi, m)
@@ -544,16 +546,14 @@ def microfacet_scattering_pdf(lb: LobeBatch, wo: Array, wi: Array,
     ex_h = jnp.where(entering, _hero_take(lb.s2, hero), _hero_take(lb.s1, hero))
     m_refl = sign[..., None] * _half_vector(wo, wi)
     m_trans = -(ee_h[..., None] * wo + ex_h[..., None] * wi)
-    m_trans = m_trans / jnp.maximum(
-        jnp.linalg.norm(m_trans, axis=-1, keepdims=True), 1e-12
-    )
+    m_trans = m_trans / jnp.maximum(jnp.sqrt(dot(m_trans, m_trans))[..., None], 1e-12)
     m = jnp.where((prod > 0)[..., None], m_refl, m_trans)
-    dot_hv = jnp.sum(wo * m, axis=-1)
+    dot_hv = dot(wo, m)
     ok = (dot_hv * sign > 0) & (prod != 0)
     mpdf = ggx_vndf_pdf(alpha, sign[..., None] * wo, m)
     f = fresnel_dielectric(lb.s1, lb.s2, dot_hv)
     reflect_prob = importance(f, hero)
-    dot_hl = jnp.sum(wi * m, axis=-1)
+    dot_hl = dot(wi, m)
     pdf_refl = reflect_prob * mpdf / jnp.maximum(4.0 * dot_hv * sign, 1e-12)
     denom = jnp.maximum((ee_h * dot_hv + ex_h * dot_hl) ** 2, 1e-12)
     pdf_trans = (1.0 - reflect_prob) / denom * mpdf * ex_h * ex_h * jnp.abs(dot_hl)
@@ -570,7 +570,7 @@ def microfacet_scattering_sample(lb: LobeBatch, wo: Array, hero: Array,
     ee_h = jnp.where(entering, _hero_take(lb.s1, hero), _hero_take(lb.s2, hero))
     ex_h = jnp.where(entering, _hero_take(lb.s2, hero), _hero_take(lb.s1, hero))
     m, mpdf = ggx_sample_vndf(alpha, sign[..., None] * wo, u0, u1)
-    dot_hv = jnp.sum(wo * m, axis=-1)
+    dot_hv = dot(wo, m)
     valid_m = dot_hv * sign > 0
     f = fresnel_dielectric(lb.s1, lb.s2, dot_hv)
     reflect_prob = importance(f, hero)
@@ -588,7 +588,7 @@ def microfacet_scattering_sample(lb: LobeBatch, wo: Array, hero: Array,
     ok_t_root = inner >= 0
     wi_t = (rr * dot_hv - sign * jnp.sqrt(jnp.maximum(inner, 0.0)))[..., None] * m - rr[..., None] * wo
     ok_t = ok_t_root & (wi_t[..., 2] * wo[..., 2] < 0)
-    dot_hl = jnp.sum(wi_t * m, axis=-1)
+    dot_hl = dot(wi_t, m)
     denom = jnp.maximum((ee_h * dot_hv + ex_h * dot_hl) ** 2, 1e-12)
     pdf_t = (1.0 - reflect_prob) / denom * mpdf * ex_h * ex_h * jnp.abs(dot_hl)
 
@@ -614,7 +614,7 @@ def _ward_terms(lb: LobeBatch, wo: Array, wi: Array):
     hx_ax = h[..., 0] / ax
     hy_ay = h[..., 1] / ay
     dot_hn = jnp.abs(h[..., 2])
-    dot_hi = jnp.sum(h * wi, axis=-1)
+    dot_hi = dot(h, wi)
     numerator = jnp.exp(
         -(hx_ax * hx_ax + hy_ay * hy_ay) / jnp.maximum(dot_hn * dot_hn, 1e-12)
     )
@@ -657,7 +657,7 @@ def ward_sample(lb: LobeBatch, wo: Array, u0: Array, u1: Array) -> SampleOut:
         ],
         axis=-1,
     )
-    wi = 2.0 * jnp.sum(wo * h, axis=-1)[..., None] * h - wo
+    wi = 2.0 * dot(wo, h)[..., None] * h - wo
     ok = wi[..., 2] * wo[..., 2] > 0
     pdf = ward_pdf(lb, wo, wi)
     fs = ward_eval(lb, wo, wi)
@@ -687,7 +687,7 @@ def _ashikhmin_weights(lb: LobeBatch, wo: Array, hero: Array):
 def _ashikhmin_spec_terms(lb: LobeBatch, wo: Array, wi: Array, h: Array):
     nu = lb.f0
     nv = lb.f1
-    dot_hv = jnp.sum(h * wo, axis=-1)
+    dot_hv = dot(h, wo)
     denom_1mz2 = jnp.maximum(1.0 - h[..., 2] * h[..., 2], 1e-12)
     expo = (nu * h[..., 0] ** 2 + nv * h[..., 1] ** 2) / denom_1mz2
     common = (
@@ -757,7 +757,7 @@ def ashikhmin_sample(lb: LobeBatch, wo: Array, front: Array, hero: Array,
         ],
         axis=-1,
     )
-    wi_spec = 2.0 * jnp.sum(wo * h, axis=-1)[..., None] * h - wo
+    wi_spec = 2.0 * dot(wo, h)[..., None] * h - wo
 
     # diffuse cosine sample
     d = cosine_sample_hemisphere(u0, u1)

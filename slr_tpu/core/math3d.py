@@ -19,7 +19,14 @@ INF = jnp.inf
 
 
 def dot(a: Array, b: Array) -> Array:
-    """Batched dot product over the last axis. Returns (...)."""
+    """Batched dot product over the last axis. Returns (...).
+
+    For 3-vectors, explicit component slices: a minor-axis reduce over a
+    size-3 dim lowers ~20x slower on TPU (measured 60 us vs 3 us per 49k
+    lanes) than three lane-aligned multiplies."""
+    if a.shape[-1] == 3 or b.shape[-1] == 3:
+        return (a[..., 0] * b[..., 0] + a[..., 1] * b[..., 1]
+                + a[..., 2] * b[..., 2])
     return jnp.sum(a * b, axis=-1)
 
 
@@ -28,7 +35,13 @@ def absdot(a: Array, b: Array) -> Array:
 
 
 def cross(a: Array, b: Array) -> Array:
-    return jnp.cross(a, b)
+    """Explicit component form (jnp.cross lowers through rolls/reduces that
+    are slow on the TPU minor axis)."""
+    ax, ay, az = a[..., 0], a[..., 1], a[..., 2]
+    bx, by, bz = b[..., 0], b[..., 1], b[..., 2]
+    return jnp.stack(
+        [ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx], axis=-1
+    )
 
 
 def length2(a: Array) -> Array:

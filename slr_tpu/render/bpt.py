@@ -52,6 +52,7 @@ from ..camera.perspective import camera_derived
 from ..core import rng
 from ..core.math3d import (
     Array,
+    cross,
     dot,
     frame_from_local,
     frame_to_local,
@@ -169,7 +170,8 @@ def _generate_subpath(
             else jnp.zeros((r,), bool)
         )
 
-        dist2 = jnp.maximum(jnp.sum((sp.p - prev) ** 2, axis=-1), 1e-12)
+        dsp_ = sp.p - prev
+        dist2 = jnp.maximum(dot(dsp_, dsp_), 1e-12)
         wo = frame_to_local(sp.tangent, sp.bitangent, sp.sn, -ray_d)
         gn_sn = frame_to_local(sp.tangent, sp.bitangent, sp.sn, sp.gn)
         area_pdf = dir_pdf * jnp.abs(dot(wo, gn_sn)) / dist2
@@ -472,7 +474,7 @@ def bpt_batch(
             [-jnp.cos(e_phi), jnp.zeros_like(e_phi), -jnp.sin(e_phi)],
             axis=-1,
         ))
-        bit_env = jnp.cross(gn_env, tan_env)
+        bit_env = cross(gn_env, tan_env)
         le0_env = jnp.pi * _env_radiance(scene, ex, ey, lambdas)
         disc_pdf = 1.0 / (jnp.pi * scene.world_radius * scene.world_radius)
         dx, dy = concentric_sample_disk(eu0, eu1)
@@ -549,7 +551,7 @@ def bpt_batch(
     lens_x = transform_vector(
         cam.to_world, jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0]), (r, 3))
     )
-    lens_y = jnp.cross(lens_n, lens_x)
+    lens_y = cross(lens_n, lens_x)
     lens_area_pdf = jnp.where(
         cam.lens_radius > 0,
         1.0 / (jnp.pi * jnp.maximum(cam.lens_radius, 1e-12) ** 2),
@@ -648,11 +650,11 @@ def _connect(scene, film, lv, ev, s, t, hero, lambdas, spectral, s_dim,
     # (geometry.cpp:31-41), and cos_light = |dot(p, -p)| = 1 falls out.
     at_l = lv.at_inf[:, li]
     raw = lv.p[:, li] - ev.p[:, ei]
-    raw2 = jnp.maximum(jnp.sum(raw * raw, axis=-1), 1e-12)
+    raw2 = jnp.maximum(dot(raw, raw), 1e-12)
     conn = jnp.where(at_l[:, None], lv.p[:, li], raw)
     dist2 = jnp.where(at_l, 1.0, raw2)
     conn_dir = conn / jnp.sqrt(
-        jnp.maximum(jnp.sum(conn * conn, axis=-1), 1e-12)
+        jnp.maximum(dot(conn, conn), 1e-12)
     )[:, None]
     cos_light = jnp.abs(dot(conn_dir, lv.gn[:, li]))
     cos_eye = jnp.abs(dot(conn_dir, ev.gn[:, ei]))
@@ -774,7 +776,8 @@ def _connect(scene, film, lv, ev, s, t, hero, lambdas, spectral, s_dim,
         l_ext1_rr = jnp.ones((r,))
     if t > 1:
         prev_p = ev.p[:, ei - 1]
-        d2 = jnp.maximum(jnp.sum((ev.p[:, ei] - prev_p) ** 2, axis=-1), 1e-12)
+        dev_ = ev.p[:, ei] - prev_p
+        d2 = jnp.maximum(dot(dev_, dev_), 1e-12)
         dir2 = (ev.p[:, ei] - prev_p) / jnp.sqrt(d2)[:, None]
         l_ext2_area = l_ext2_dir_pdf * jnp.abs(
             dot(ev.gn[:, ei - 1], dir2)
@@ -804,7 +807,8 @@ def _connect(scene, film, lv, ev, s, t, hero, lambdas, spectral, s_dim,
         e_ext1_rr = jnp.ones((r,))
     if s > 1:
         prev_p = lv.p[:, li - 1]
-        d2 = jnp.maximum(jnp.sum((lv.p[:, li] - prev_p) ** 2, axis=-1), 1e-12)
+        dlv_ = lv.p[:, li] - prev_p
+        d2 = jnp.maximum(dot(dlv_, dlv_), 1e-12)
         dir2 = (lv.p[:, li] - prev_p) / jnp.sqrt(d2)[:, None]
         e_ext2_area = e_ext2_dir_pdf * jnp.abs(
             dot(lv.gn[:, li - 1], dir2)

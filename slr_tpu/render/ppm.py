@@ -220,9 +220,9 @@ def _trace_photons_pss(scene: FlatScene, u: Array, spectral_s: int,
         # (BSDF::evaluate adjoint rule, h:256-258). Using the SAMPLED fs
         # keeps delta lobes (glass/mirror caustic transport) alive.
         corr_wi = jnp.abs(smp.wi[..., 2]) / jnp.maximum(
-            jnp.abs(jnp.sum(smp.wi * gn_sn, axis=-1)), 1e-6)
+            jnp.abs(dot(smp.wi, gn_sn)), 1e-6)
         corr_wo = jnp.abs(wo[..., 2]) / jnp.maximum(
-            jnp.abs(jnp.sum(wo * gn_sn, axis=-1)), 1e-6)
+            jnp.abs(dot(wo, gn_sn)), 1e-6)
         fs_adj = smp.fs * (corr_wo / jnp.maximum(corr_wi, 1e-6))[:, None]
         w = fs_adj * (cos_i / jnp.maximum(smp.pdf, 1e-30))[:, None]
         # RR by luminance-ish mean throughput ratio
@@ -294,7 +294,8 @@ def _gather(scene: FlatScene, hp: HitPoints, ph: Photons, r2: Array,
         """One candidate per hitpoint: idx/code (H,)."""
         in_cell = codes_s[idx] == code
         pp = ph_s.p[idx]
-        d2 = jnp.sum((pp - hp.p) ** 2, axis=-1)
+        dpp_ = pp - hp.p
+        d2 = dot(dpp_, dpp_)
         near = in_cell & (d2 < r2) & hp.valid & ph_s.valid[idx]
         wi_l = frame_to_local(fx, fy, fz, ph_s.wi[idx])
         fs = bsdf_evaluate(lobes, wo_l, wi_l, gn_l, hero0)

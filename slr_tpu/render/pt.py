@@ -43,7 +43,7 @@ from ..bsdf.bsdf import (
 from ..camera.perspective import sample_camera_rays, sample_camera_rays_equirect
 from ..scene.types import CameraKind
 from ..core import rng
-from ..core.math3d import Array, dot, frame_from_local, frame_to_local, normalize
+from ..core.math3d import Array, cross as _cross, dot, frame_from_local, frame_to_local, normalize
 from ..core.rng import Decision
 from ..core.sampling import (
     pdf_continuous_2d,
@@ -125,14 +125,24 @@ def scene_intersect_alpha(scene: FlatScene, o: Array, d: Array,
     from ..scene.textures import eval_float_texture
 
     def alpha_zero(h: Hit) -> Array:
+        from ..accel.intersect import fetch_tri_row
+
         tri = jnp.maximum(h.tri, 0)
-        aid = scene.geometry.tri_alpha[tri]
-        vidx = scene.geometry.tri_vidx[tri]
-        uv = (
-            h.b0[..., None] * scene.geometry.uvs[vidx[:, 0]]
-            + h.b1[..., None] * scene.geometry.uvs[vidx[:, 1]]
-            + (1.0 - h.b0 - h.b1)[..., None] * scene.geometry.uvs[vidx[:, 2]]
-        )
+        if scene.geometry.tri_table is not None:
+            row = fetch_tri_row(scene.geometry.tri_table, tri)
+            aid = row.alpha_id
+            b2 = (1.0 - h.b0 - h.b1)[..., None]
+            uv = (h.b0[..., None] * row.uv0 + h.b1[..., None] * row.uv1
+                  + b2 * row.uv2)
+        else:
+            aid = scene.geometry.tri_alpha[tri]
+            vidx = scene.geometry.tri_vidx[tri]
+            uv = (
+                h.b0[..., None] * scene.geometry.uvs[vidx[:, 0]]
+                + h.b1[..., None] * scene.geometry.uvs[vidx[:, 1]]
+                + (1.0 - h.b0 - h.b1)[..., None]
+                * scene.geometry.uvs[vidx[:, 2]]
+            )
         a = eval_float_texture(scene.ftex, aid, uv,
                                scene.stex.images, scene.stex.image_hw)
         return h.mask & (aid >= 0) & (a == 0.0)
@@ -195,7 +205,7 @@ def resolve_sp(scene: FlatScene, hit: Hit, o: Array, d: Array,
             sn=sn,
             tangent=tangent,
             bitangent=jnp.where(
-                on_inst, jnp.cross(sn_w, tan_w), sp.bitangent
+                on_inst, _cross(sn_w, tan_w), sp.bitangent
             ),
         )
     if scene.has_normal_map:
@@ -245,7 +255,7 @@ def test_visibility(scene: FlatScene, p_from: Array, p_to: Array,
     """Shadow test (Scene::testVisibility, SurfaceObject.cpp:417-429).
     Returns True when mutually visible."""
     delta = p_to - p_from
-    dist = jnp.linalg.norm(delta, axis=-1)
+    dist = jnp.sqrt(jnp.maximum(dot(delta, delta), 1e-40))
     d = delta / jnp.maximum(dist, 1e-20)[..., None]
     occ = scene_occluded(
         scene, p_from, d, tmin=RAY_EPSILON, tmax=dist * (1.0 - 1e-3), f=f,
@@ -341,7 +351,12 @@ def _select_light(scene: FlatScene, u: Array):
         (u - env_prob) / jnp.maximum(1.0 - env_prob, 1e-12), 0.0, 1.0 - 1e-7
     )
     idx, pmf, _ = sample_discrete_1d(scene.lights.dist, u_area)
-    tri = scene.lights.tri_idx[idx]
+    nl = scene.lights.tri_idx.shape[0]
+    if nl <= 1024:
+        oh = idx[..., None] == jnp.arange(nl, dtype=jnp.int32)
+        tri = jnp.sum(jnp.where(oh, scene.lights.tri_idx, 0), axis=-1)
+    else:
+        tri = scene.lights.tri_idx[idx]
     prob = jnp.where(is_env, env_prob, (1.0 - env_prob) * pmf)
     return tri, prob, is_env
 
@@ -484,7 +499,7 @@ def _trace_core(
         # tmax, area lanes at the sampled light point. BSDF eval/pdf are also
         # shared between the two branches.
         delta_p = lp.p - sp.p
-        dist2 = jnp.maximum(jnp.sum(delta_p * delta_p, axis=-1), 1e-12)
+        dist2 = jnp.maximum(dot(delta_p, delta_p), 1e-12)
         dist = jnp.sqrt(dist2)
         area_dir = delta_p / dist[..., None]
 
@@ -597,15 +612,20 @@ def _trace_core(
         # per-lane results agree to fp tolerance, un-permuted at trace end.
         is_delta = smp.is_delta
         if sort_rays:
+            from ..core.permute import permute_rows
+
             key = _ray_sort_key(scene, new_o, new_d, sample_ok)
             order = jnp.argsort(key)
+            # ONE packed row gather for the whole carried state (scalar-core
+            # per-leaf gathers cost ~0.2 ms each on 49k lanes; see
+            # core/permute.py).
             (state, new_o, new_d, sample_ok, new_alpha, radiance, dir_pdf,
              is_delta, wl_selected, pixel_id, sample_id, f_time, lambdas,
-             orig) = jax.tree.map(
-                lambda a: a[order],
+             orig) = permute_rows(
                 (state, new_o, new_d, sample_ok, new_alpha, radiance,
                  dir_pdf, is_delta, wl_selected, pixel_id, sample_id,
                  f_time, lambdas, orig),
+                order,
             )
 
         # --- Next intersection ------------------------------------------
@@ -619,9 +639,8 @@ def _trace_core(
         le_hit = emitted_radiance(
             scene, sp_next.mat_id, sp_next.uv, cos_out_n, lambdas
         )
-        d2 = jnp.maximum(
-            jnp.sum((sp_next.p - new_o) ** 2, axis=-1), 1e-12
-        )
+        dp_next = sp_next.p - new_o
+        d2 = jnp.maximum(dot(dp_next, dp_next), 1e-12)
         cos_g = jnp.abs(dot(new_d, sp_next.gn))
         l_prob = _area_light_prob(scene)
         light_pdf_hit = l_prob * sp_next.area_pdf * d2 / jnp.maximum(cos_g, 1e-12)

@@ -1,24 +1,26 @@
-"""Persistent-wavefront path tracer with path regeneration.
+"""Persistent-wavefront path tracer with a dynamic global work queue.
 
 Same estimator as render/pt.py (PathTracingRenderer.cpp:137-262 semantics,
-identical counter-based random streams), different scheduling: instead of
-spp fixed-depth passes whose terminated lanes idle masked, every lane is
-pinned to its pixel and REGENERATES — the moment its path dies (miss, RR,
-depth cap) it banks the sample into its film accumulator and immediately
-starts the next sample's camera ray. Every iteration of the outer
-`lax.while_loop` therefore performs one useful closest-hit cast and one
-useful NEE shadow cast for (nearly) every lane, cutting total ray-triangle
-work per sample by ~E[path length]/max_depth compared to the padded loop.
+identical counter-based random streams), different scheduling: lanes are NOT
+pinned to pixels. A global work counter enumerates (pixel, sample) items in
+pass-major order (work = sample * n_pix + pixel); the moment a lane's path
+dies (miss, RR, depth cap) it scatter-adds the finished sample into the film
+and claims the next work item via an exclusive prefix sum over the lanes that
+finished this iteration — the lock-step analogue of a GPU persistent-threads
+queue (`atomicAdd` on a work counter). Static per-lane assignment (round
+robin over samples) would leave the whole machine waiting on the straggler
+lane whose samples happened to be long; dynamic claiming keeps utilization at
+~(total segments)/(total segments + longest single path).
 
-This is the TPU analogue of persistent-threads/wavefront scheduling on GPUs
-(SURVEY.md §5 "persistent mega-batches"); the reference's per-ray
-`while (true)` loop (PathTracingRenderer.cpp:160) maps onto it directly —
-including its depth cap of 100, which is affordable here because depth no
-longer costs padded iterations.
+Every iteration therefore performs one useful closest-hit cast and one useful
+NEE shadow cast for (nearly) every lane, cutting total work per sample by
+~E[path length]/max_depth compared to the padded fixed-depth loop. This makes
+the reference's depth cap of 100 (PathTracingRenderer.cpp:160) affordable:
+depth no longer costs padded iterations.
 
-Because the RNG is keyed by (pixel, sample, bounce, decision), each lane's
-sample sequence is identical to pt.render's: the two renderers agree to fp
-tolerance (tests/test_wavefront.py).
+Because the RNG is keyed by (pixel, sample, bounce, decision), the estimate
+for every (pixel, sample) is bit-identical to pt.render's regardless of which
+lane traces it or when (tests/test_wavefront.py).
 """
 from __future__ import annotations
 
@@ -52,6 +54,7 @@ from ..render.pt import (
     _env_radiance,
     _env_direction,
     _env_uv_from_direction,
+    _ray_sort_key,
     _select_light,
     resolve_sp,
     scene_intersect_alpha,
@@ -64,9 +67,10 @@ DEFAULT_MAX_DEPTH = 100  # the reference's path cap (PathTracingRenderer.cpp)
 
 
 class LaneState(NamedTuple):
-    """Per-lane (per-pixel) persistent state."""
+    """Per-lane persistent state. `work` is the lane's current global work
+    item (= sample * n_pix + pixel); >= total means the lane is drained."""
 
-    sample_id: Array    # (R,) uint32 absolute sample index being traced
+    work: Array         # (R,) uint32 global work item being traced
     bounce: Array       # (R,) int32  casts completed for the current sample
     ray_o: Array        # (R, 3)
     ray_d: Array        # (R, 3)
@@ -90,8 +94,19 @@ class LaneState(NamedTuple):
                         #     before any further shading.
     init_y: Array       # (R,)
     f_time: Array       # (R,)  shutter fraction (zeros when static)
-    film: Array         # (R, S_film) banked completed samples
-    n_iters: Array      # ()    iteration counter (reporting)
+
+
+class GlobalState(NamedTuple):
+    lanes: LaneState
+    counter: Array      # ()   uint32 next unclaimed work item
+    film: Array         # (n_pix + 1, S_film); row n_pix is the drop slot
+    n_iters: Array      # ()   int32 iteration counter (reporting)
+
+
+def _work_pixel_sample(work, n_pix, sample_offset):
+    pid = work % jnp.uint32(n_pix)
+    sid = sample_offset + work // jnp.uint32(n_pix)
+    return pid, sid
 
 
 def _camera_ray(scene: FlatScene, pixel_id, sample_id, seed, width, height):
@@ -111,7 +126,7 @@ def _camera_ray(scene: FlatScene, pixel_id, sample_id, seed, width, height):
 
 def _fresh_sample(scene: FlatScene, pixel_id, sample_id, seed, width, height,
                   s: int, spectral: bool):
-    """Everything a lane needs to start sample `sample_id`."""
+    """Everything a lane needs to start the sample (pixel_id, sample_id)."""
     rays = _camera_ray(scene, pixel_id, sample_id, seed, width, height)
     u_wl = rng.uniform(seed, pixel_id, sample_id, 0, Decision.WL_SELECT)
     if spectral:
@@ -131,123 +146,135 @@ def _fresh_sample(scene: FlatScene, pixel_id, sample_id, seed, width, height,
     return rays, hero, lambdas, f_time
 
 
-def _bank(film, radiance, cam_weight, lambdas, spectral: bool):
-    """Fold one finished sample into the film accumulator."""
+def _sample_value(radiance, cam_weight, lambdas, spectral: bool):
+    """One finished sample -> film-space contribution (R, S_film)."""
     weighted = cam_weight[:, None] * radiance
     if spectral:
         from ..spectrum.spectral import (
             NUM_SPECTRAL_SAMPLES, WL_HI, WL_LO, bin_to_strata)
 
-        return film + bin_to_strata(
+        return bin_to_strata(
             lambdas, weighted / (NUM_SPECTRAL_SAMPLES / (WL_HI - WL_LO)))
-    return film + weighted
+    return weighted
 
 
-@partial(jax.jit, static_argnames=("n_pix", "max_depth"))
+@partial(jax.jit, static_argnames=("n_pix", "n_lanes", "max_depth",
+                                   "sort_rays"))
 def _run_wavefront(scene: FlatScene, n_pix: int, spp_end, seed, width, height,
-                   sample_offset, max_depth: int):
+                   sample_offset, max_depth: int, n_lanes: int | None = None,
+                   sort_rays: bool = True):
     from ..spectrum.spectral import NUM_SPECTRAL_SAMPLES, NUM_STRATA
 
     spectral = scene.stex.spectral
     s = NUM_SPECTRAL_SAMPLES if spectral else scene.stex.value.shape[-1]
     s_film = NUM_STRATA if spectral else s
-    pixel_id = jnp.arange(n_pix, dtype=jnp.uint32)
+    r = n_lanes or n_pix
     seed = jnp.asarray(seed, jnp.uint32)
     width = jnp.asarray(width, jnp.uint32)
     height = jnp.asarray(height, jnp.uint32)
-    sample0 = jnp.broadcast_to(
-        jnp.asarray(sample_offset, jnp.uint32), (n_pix,))
+    sample_offset = jnp.asarray(sample_offset, jnp.uint32)
+    spp_end = jnp.asarray(spp_end, jnp.uint32)
+    total = (spp_end - sample_offset) * jnp.uint32(n_pix)
 
+    work0 = jnp.arange(r, dtype=jnp.uint32)
+    pid0, sid0 = _work_pixel_sample(work0, n_pix, sample_offset)
     rays, hero, lambdas, f_time = _fresh_sample(
-        scene, pixel_id, sample0, seed, width, height, s, spectral)
-    ones = jnp.ones((n_pix, s), jnp.float32)
-    state = LaneState(
-        sample_id=sample0,
-        bounce=jnp.zeros((n_pix,), jnp.int32),
+        scene, pid0, sid0, seed, width, height, s, spectral)
+    ones = jnp.ones((r, s), jnp.float32)
+    lanes = LaneState(
+        work=work0,
+        bounce=jnp.zeros((r,), jnp.int32),
         ray_o=rays.o,
         ray_d=rays.d,
         alpha=ones,
-        radiance=jnp.zeros((n_pix, s), jnp.float32),
+        radiance=jnp.zeros((r, s), jnp.float32),
         cam_weight=rays.weight,
         hero=hero,
         lambdas=lambdas,
-        wl_selected=jnp.zeros((n_pix,), bool),
-        prev_pdf=jnp.zeros((n_pix,), jnp.float32),
-        prev_delta=jnp.zeros((n_pix,), bool),
-        last=jnp.zeros((n_pix,), bool),
-        rr_scale=jnp.ones((n_pix,), jnp.float32),
+        wl_selected=jnp.zeros((r,), bool),
+        prev_pdf=jnp.zeros((r,), jnp.float32),
+        prev_delta=jnp.zeros((r,), bool),
+        last=jnp.zeros((r,), bool),
+        rr_scale=jnp.ones((r,), jnp.float32),
         init_y=importance(ones, hero),
         f_time=f_time,
-        film=jnp.zeros((n_pix, s_film), jnp.float32),
+    )
+    state = GlobalState(
+        lanes=lanes,
+        counter=jnp.uint32(r),
+        film=jnp.zeros((n_pix + 1, s_film), jnp.float32),
         n_iters=jnp.zeros((), jnp.int32),
     )
-    spp_end = jnp.asarray(spp_end, jnp.uint32)
 
-    def cond(state: LaneState):
-        return jnp.any(state.sample_id < spp_end)
+    def cond(state: GlobalState):
+        return jnp.any(state.lanes.work < total)
 
-    def body(state: LaneState):
-        lane_on = state.sample_id < spp_end
-        ft = state.f_time if scene.instances is not None else None
-        lam_s = state.lambdas if spectral else None
+    def body(state: GlobalState):
+        lane = state.lanes
+        lane_on = lane.work < total
+        pixel_id, sample_id = _work_pixel_sample(lane.work, n_pix,
+                                                 sample_offset)
+        ft = lane.f_time if scene.instances is not None else None
+        lam_s = lane.lambdas if spectral else None
 
         # ---- cast the in-flight ray ------------------------------------
-        hit = scene_intersect_alpha(scene, state.ray_o, state.ray_d, f=ft,
+        hit = scene_intersect_alpha(scene, lane.ray_o, lane.ray_d, f=ft,
                                     active=lane_on)
-        sp = resolve_sp(scene, hit, state.ray_o, state.ray_d, f=ft)
+        sp = resolve_sp(scene, hit, lane.ray_o, lane.ray_d, f=ft)
         hit_ok = lane_on & hit.mask
-        first = state.bounce == 0
+        first = lane.bounce == 0
 
         # ---- emission at the hit / environment on miss ------------------
-        cos_out = dot(-state.ray_d, sp.sn)
+        cos_out = dot(-lane.ray_d, sp.sn)
         le = emitted_radiance(scene, sp.mat_id, sp.uv, cos_out, lam_s)
-        d2 = jnp.maximum(jnp.sum((sp.p - state.ray_o) ** 2, axis=-1), 1e-12)
-        cos_g = jnp.abs(dot(state.ray_d, sp.gn))
+        dp_ = sp.p - lane.ray_o
+        d2 = jnp.maximum(dot(dp_, dp_), 1e-12)
+        cos_g = jnp.abs(dot(lane.ray_d, sp.gn))
         l_prob = _area_light_prob(scene)
         light_pdf_hit = l_prob * sp.area_pdf * d2 / jnp.maximum(cos_g, 1e-12)
         mis_b = jnp.where(
-            first | state.prev_delta, 1.0,
-            power_heuristic(state.prev_pdf, light_pdf_hit))
+            first | lane.prev_delta, 1.0,
+            power_heuristic(lane.prev_pdf, light_pdf_hit))
         emissive = hit_ok & is_emissive(scene.materials, sp.mat_id)
-        radiance = state.radiance + jnp.where(
-            emissive[:, None], state.alpha * le * mis_b[:, None], 0.0)
+        radiance = lane.radiance + jnp.where(
+            emissive[:, None], lane.alpha * le * mis_b[:, None], 0.0)
 
         if scene.has_env:
             esc = lane_on & jnp.logical_not(hit.mask)
-            eu, ev = _env_uv_from_direction(state.ray_d)
+            eu, ev = _env_uv_from_direction(lane.ray_d)
             env_le = _env_radiance(scene, eu, ev, lam_s)
             env_uvpdf = pdf_continuous_2d(scene.env.dist, eu, ev)
             env_pdf = (scene.lights.env_prob * env_uvpdf
                        / jnp.maximum(2.0 * jnp.pi**2
                                      * jnp.sin(ev * jnp.pi), 1e-8))
             mis_env = jnp.where(
-                first | state.prev_delta, 1.0,
-                power_heuristic(state.prev_pdf, env_pdf))
+                first | lane.prev_delta, 1.0,
+                power_heuristic(lane.prev_pdf, env_pdf))
             radiance = radiance + jnp.where(
-                esc[:, None], state.alpha * env_le * mis_env[:, None], 0.0)
+                esc[:, None], lane.alpha * env_le * mis_env[:, None], 0.0)
 
         # ---- shade: NEE + BSDF sample + RR (pt.py bounce body) ----------
         # Shading (NEE + next-segment throughput) sees the RR-divided alpha;
         # the emission above intentionally saw the undivided one.
-        alpha_sh = state.alpha * state.rr_scale[:, None]
-        bounce_id = (state.bounce + 1).astype(jnp.uint32)
+        alpha_sh = lane.alpha * lane.rr_scale[:, None]
+        bounce_id = (lane.bounce + 1).astype(jnp.uint32)
         fx, fy, fz = sp.tangent, sp.bitangent, sp.sn
-        wo = frame_to_local(fx, fy, fz, -state.ray_d)
+        wo = frame_to_local(fx, fy, fz, -lane.ray_d)
         gn_sn = frame_to_local(fx, fy, fz, sp.gn)
         lobes = gather_lobes(scene, sp.mat_id, sp.uv, sp.p, lam_s)
         nondelta = bsdf_has_nondelta(lobes)
 
-        u_sel = rng.uniform(seed, pixel_id, state.sample_id, bounce_id,
+        u_sel = rng.uniform(seed, pixel_id, sample_id, bounce_id,
                             Decision.LIGHT_SELECT)
-        lu0 = rng.uniform(seed, pixel_id, state.sample_id, bounce_id,
+        lu0 = rng.uniform(seed, pixel_id, sample_id, bounce_id,
                           Decision.LIGHT_POS_U)
-        lu1 = rng.uniform(seed, pixel_id, state.sample_id, bounce_id,
+        lu1 = rng.uniform(seed, pixel_id, sample_id, bounce_id,
                           Decision.LIGHT_POS_V)
         light_tri, light_prob, is_env = _select_light(scene, u_sel)
         lp = sample_triangle_point(scene.geometry, light_tri, lu0, lu1)
 
         delta_p = lp.p - sp.p
-        dist2 = jnp.maximum(jnp.sum(delta_p * delta_p, axis=-1), 1e-12)
+        dist2 = jnp.maximum(dot(delta_p, delta_p), 1e-12)
         dist = jnp.sqrt(dist2)
         area_dir = delta_p / dist[:, None]
         if scene.has_env:
@@ -263,13 +290,16 @@ def _run_wavefront(scene: FlatScene, n_pix: int, spp_end, seed, width, height,
             shadow_dir = area_dir
             shadow_tmax = dist * (1.0 - 1e-3)
 
-        depth_ok_pre = (state.bounce < max_depth) & jnp.logical_not(state.last)
+        # Depth accounting matches pt.py exactly: NEE at hit b contributes a
+        # path of b+1 segments, allowed iff b < max_depth; the same condition
+        # gates extending (cast b+1). The final allowed hit gets Le only.
+        depth_ok = (lane.bounce < max_depth) & jnp.logical_not(lane.last)
         vis = jnp.logical_not(scene_occluded(
             scene, sp.p, shadow_dir, RAY_EPSILON, shadow_tmax, f=ft,
-            active=hit_ok & depth_ok_pre & nondelta))
+            active=hit_ok & depth_ok & nondelta))
         shadow_dir_sn = frame_to_local(fx, fy, fz, shadow_dir)
-        fs_nee = bsdf_evaluate(lobes, wo, shadow_dir_sn, gn_sn, state.hero)
-        pdf_bsdf_w = bsdf_pdf(lobes, wo, shadow_dir_sn, gn_sn, state.hero)
+        fs_nee = bsdf_evaluate(lobes, wo, shadow_dir_sn, gn_sn, lane.hero)
+        pdf_bsdf_w = bsdf_pdf(lobes, wo, shadow_dir_sn, gn_sn, lane.hero)
 
         cos_light_s = dot(-shadow_dir, lp.sn)
         le_nee = emitted_radiance(scene, lp.mat_id, lp.uv, cos_light_s, lam_s)
@@ -280,10 +310,6 @@ def _run_wavefront(scene: FlatScene, n_pix: int, spp_end, seed, width, height,
         g = jnp.abs(dot(shadow_dir_sn, gn_sn)) * cos_light / dist2
         contrib_nee = (alpha_sh * le_nee * fs_nee
                        * (g * mis_w / jnp.maximum(light_pdf, 1e-30))[:, None])
-        # Depth accounting matches pt.py exactly: NEE at hit b contributes a
-        # path of b+1 segments, allowed iff b < max_depth; the same condition
-        # gates extending (cast b+1). The final allowed hit gets Le only.
-        depth_ok = (state.bounce < max_depth) & jnp.logical_not(state.last)
         nee_ok = (hit_ok & depth_ok & nondelta & vis & (light_pdf > 0)
                   & jnp.logical_not(is_env))
         radiance = radiance + jnp.where(nee_ok[:, None], contrib_nee, 0.0)
@@ -301,18 +327,18 @@ def _run_wavefront(scene: FlatScene, n_pix: int, spp_end, seed, width, height,
                       & (env_light_pdf > 0))
             radiance = radiance + jnp.where(env_ok[:, None], contrib_env, 0.0)
 
-        uc = rng.uniform(seed, pixel_id, state.sample_id, bounce_id,
+        uc = rng.uniform(seed, pixel_id, sample_id, bounce_id,
                          Decision.BSDF_COMPONENT)
-        u0 = rng.uniform(seed, pixel_id, state.sample_id, bounce_id,
+        u0 = rng.uniform(seed, pixel_id, sample_id, bounce_id,
                          Decision.BSDF_U)
-        u1 = rng.uniform(seed, pixel_id, state.sample_id, bounce_id,
+        u1 = rng.uniform(seed, pixel_id, sample_id, bounce_id,
                          Decision.BSDF_V)
-        smp = bsdf_sample(lobes, wo, gn_sn, state.hero, state.wl_selected,
+        smp = bsdf_sample(lobes, wo, gn_sn, lane.hero, lane.wl_selected,
                           uc, u0, u1)
         smp = smp._replace(wi=jax.lax.stop_gradient(smp.wi),
                            pdf=jax.lax.stop_gradient(smp.pdf))
         dir_pdf = jnp.where(smp.dispersive, smp.pdf / s, smp.pdf)
-        wl_sel_new = state.wl_selected | smp.dispersive
+        wl_sel_new = lane.wl_selected | smp.dispersive
 
         cos_sn = jnp.abs(dot(smp.wi, gn_sn))
         new_alpha = alpha_sh * smp.fs * (
@@ -321,9 +347,9 @@ def _run_wavefront(scene: FlatScene, n_pix: int, spp_end, seed, width, height,
             jnp.all(smp.fs == 0.0, axis=-1))
 
         cont_p = jax.lax.stop_gradient(jnp.minimum(
-            importance(new_alpha, state.hero)
-            / jnp.maximum(state.init_y, 1e-30), 1.0))
-        u_rr = rng.uniform(seed, pixel_id, state.sample_id, bounce_id,
+            importance(new_alpha, lane.hero)
+            / jnp.maximum(lane.init_y, 1e-30), 1.0))
+        u_rr = rng.uniform(seed, pixel_id, sample_id, bounce_id,
                            Decision.RR)
         survive = u_rr < cont_p
         # RR-killed paths still cast this final segment (its implicit-hit Le
@@ -338,48 +364,67 @@ def _run_wavefront(scene: FlatScene, n_pix: int, spp_end, seed, width, height,
         extend = sample_ok & depth_ok
         dying = extend & jnp.logical_not(survive)
 
-        # ---- regenerate finished lanes ----------------------------------
+        # ---- bank finished samples & claim new work ---------------------
         finish = lane_on & jnp.logical_not(extend)
-        film = jnp.where(
-            finish[:, None],
-            _bank(state.film, radiance, state.cam_weight, state.lambdas,
-                  spectral),
-            state.film)
-        next_sample = jnp.where(finish, state.sample_id + 1, state.sample_id)
-        regen = finish & (next_sample < spp_end)
+        values = _sample_value(radiance, lane.cam_weight, lane.lambdas,
+                               spectral)
+        bank_idx = jnp.where(finish, pixel_id, jnp.uint32(n_pix))
+        film = state.film.at[bank_idx].add(
+            jnp.where(finish[:, None], values, 0.0)
+        )
 
+        # Dynamic work claiming: the lock-step analogue of `atomicAdd` on a
+        # global counter — finished lanes take counter + (their rank among
+        # this iteration's finishers).
+        fin_u = finish.astype(jnp.uint32)
+        rank = jnp.cumsum(fin_u) - fin_u   # exclusive prefix sum
+        new_work = jnp.where(finish, state.counter + rank, lane.work)
+        counter = state.counter + jnp.sum(fin_u)
+
+        regen = finish & (new_work < total)
+        n_pid, n_sid = _work_pixel_sample(new_work, n_pix, sample_offset)
         n_rays, n_hero, n_lam, n_ft = _fresh_sample(
-            scene, pixel_id, next_sample, seed, width, height, s, spectral)
+            scene, n_pid, n_sid, seed, width, height, s, spectral)
 
         def pick(cond_v, a, b):
             c = cond_v.reshape((-1,) + (1,) * (a.ndim - 1))
             return jnp.where(c, a, b)
 
-        new_state = LaneState(
-            sample_id=next_sample,
-            bounce=jnp.where(finish, 0, state.bounce + 1),
+        new_lane = LaneState(
+            work=new_work,
+            bounce=jnp.where(finish, 0, lane.bounce + 1),
             ray_o=pick(regen, n_rays.o, sp.p),
             ray_d=pick(regen, n_rays.d,
                        frame_from_local(fx, fy, fz, smp.wi)),
             alpha=pick(finish, ones, new_alpha),
             radiance=jnp.where(finish[:, None], 0.0, radiance),
-            cam_weight=pick(regen, n_rays.weight, state.cam_weight),
-            hero=pick(regen, n_hero, state.hero),
-            lambdas=pick(regen, n_lam, state.lambdas),
+            cam_weight=pick(regen, n_rays.weight, lane.cam_weight),
+            hero=pick(regen, n_hero, lane.hero),
+            lambdas=pick(regen, n_lam, lane.lambdas),
             wl_selected=jnp.where(finish, False, wl_sel_new),
             prev_pdf=jnp.where(finish, 0.0, dir_pdf),
             prev_delta=jnp.where(finish, False, smp.is_delta),
             last=jnp.where(finish, False, dying),
             rr_scale=jnp.where(finish, 1.0, rr_next),
-            init_y=pick(regen, importance(ones, n_hero), state.init_y),
-            f_time=pick(regen, n_ft, state.f_time),
-            film=film,
-            n_iters=state.n_iters + 1,
+            init_y=pick(regen, importance(ones, n_hero), lane.init_y),
+            f_time=pick(regen, n_ft, lane.f_time),
         )
-        return new_state
+
+        # ---- optional coherence re-sort (ONE packed row gather) ---------
+        if sort_rays:
+            from ..core.permute import permute_rows
+
+            active_next = new_lane.work < total
+            key = _ray_sort_key(scene, new_lane.ray_o, new_lane.ray_d,
+                                active_next)
+            order = jnp.argsort(key)
+            new_lane = permute_rows(new_lane, order)
+
+        return GlobalState(lanes=new_lane, counter=counter, film=film,
+                           n_iters=state.n_iters + 1)
 
     state = jax.lax.while_loop(cond, body, state)
-    return state.film, state.n_iters
+    return state.film[:n_pix], state.n_iters
 
 
 def render_wavefront(
@@ -391,6 +436,7 @@ def render_wavefront(
     max_depth: int = DEFAULT_MAX_DEPTH,
     sample_offset: int = 0,
     return_iters: bool = False,
+    sort_rays: bool = True,
 ):
     """Drop-in replacement for pt.render with regeneration scheduling.
     Returns (H, W, S) mean linear radiance (develop with render/film.py)."""
@@ -398,8 +444,8 @@ def render_wavefront(
 
     n_pix = width * height
     film, n_iters = _run_wavefront(
-        scene, n_pix, sample_offset + spp, seed, width, height,
-        sample_offset, max_depth)
+        scene, n_pix, spp + sample_offset, seed, width, height,
+        sample_offset, max_depth, sort_rays=sort_rays)
     film = (film / spp).reshape(height, width, -1)
     if scene.stex.spectral:
         film = strata_to_rgb(film)

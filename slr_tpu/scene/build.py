@@ -544,6 +544,8 @@ class SceneBuilder:
             tri_alpha = np.concatenate([tri_alpha, *parts_a])
             tri_ntex = np.concatenate([tri_ntex, *parts_x])
 
+        from ..accel.intersect import build_tri_table
+
         geom = Geometry(
             positions=jnp.asarray(positions),
             normals=jnp.asarray(normals),
@@ -553,6 +555,10 @@ class SceneBuilder:
             tri_mat=jnp.asarray(tri_mat),
             tri_alpha=jnp.asarray(tri_alpha),
             tri_ntex=jnp.asarray(tri_ntex),
+            tri_table=jnp.asarray(build_tri_table(
+                positions, normals, tangents, uvs, tri_vidx, tri_mat,
+                tri_alpha, tri_ntex,
+            )),
         )
 
         # Material SoA.

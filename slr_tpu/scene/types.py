@@ -191,6 +191,11 @@ class Geometry(struct.PyTreeNode):
     tri_mat: Array
     tri_alpha: Array
     tri_ntex: Array = None  # (T,) int32 normal-texture id (-1 = none)
+    # Packed per-triangle shading row (T, 40) f32 — every per-hit attribute
+    # in ONE row so surface-point resolution is a single row gather instead
+    # of ~15 scalar-core gathers (vertex indirection + per-attribute fetch).
+    # Layout: see accel/intersect.py TRI_TABLE_COLS.
+    tri_table: Array = None
 
     @property
     def num_tris(self) -> int:

@@ -50,7 +50,11 @@ def importance(values: Array, hero: Array) -> Array:
     if s == 1:
         return total
     marginal = (1.0 - HERO_PRIMARY) / (s - 1)
-    hero_val = jnp.take_along_axis(values, hero[..., None], axis=-1)[..., 0]
+    # One-hot contraction instead of take_along_axis: XLA lowers per-lane
+    # gathers to the scalar core (~0.25 ms per 49k-lane call on v5e); the
+    # compare-select runs on the VPU in microseconds.
+    onehot = hero[..., None] == jnp.arange(s, dtype=hero.dtype)
+    hero_val = jnp.sum(jnp.where(onehot, values, 0.0), axis=-1)
     return total * marginal + hero_val * (HERO_PRIMARY - marginal)
 
 

@@ -141,15 +141,19 @@ class TestPixelGradients:
         scene = cornell_box_spheres(sphere_res=6, use_bvh=False, metal=False,
                                     glass=False, spectral=True)
 
-        # The spectral emitter is the D65 CURVE texture; its scale lives in
-        # value[id, 0] (SceneBuilder.add_stex_curve).
+        # The spectral emitter texture id comes from the material table by
+        # construction (the preset's only emissive material), not from a
+        # global "the only CURVE" scan — spectral builds pre-tabulate every
+        # constant spectrum into a CURVE row, so there are many.
         from slr_tpu.scene.types import STexKind
 
-        curve_ids = np.nonzero(
-            np.asarray(scene.stex.kind) == int(STexKind.CURVE)
-        )[0]
-        assert len(curve_ids) == 1
-        emit_id = int(curve_ids[0])
+        emit_ids = np.unique(
+            np.asarray(scene.materials.emit_stex)
+        )
+        emit_ids = emit_ids[emit_ids >= 0]
+        assert len(emit_ids) == 1
+        emit_id = int(emit_ids[0])
+        assert int(scene.stex.kind[emit_id]) == int(STexKind.CURVE)
 
         def f(s):
             stex = scene.stex

@@ -66,11 +66,14 @@ def ours_64x48():
     import jax
 
     from slr_tpu.render.film import develop
-    from slr_tpu.render.pt import render
+    from slr_tpu.render.wavefront import render_wavefront
     from slr_tpu.scene.api import load_scene
 
+    # The SHIPPED renderer at the reference's own depth semantics (RR with
+    # cap 100, PathTracingRenderer.cpp:160) — parity is gated on what the
+    # CLI/bench actually run.
     scene, _, _ = load_scene(SCENE, spectral=True)
-    img = render(scene, 64, 48, spp=32, max_depth=16, seed=11)
+    img = render_wavefront(scene, 64, 48, spp=32, max_depth=100, seed=11)
     return np.asarray(develop(jax.numpy.asarray(img))) * 255.0
 
 
