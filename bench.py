@@ -62,6 +62,18 @@ def main() -> None:
     # one closest-hit and one NEE shadow cast per lane.
     mrays = n_pix * iters * 2 / dt / 1e6
 
+    # Secondary metric: BPT throughput on the same scene (all (s,t)
+    # strategies, 8x8 vertices; BidirectionalPathTracingRenderer.cpp).
+    from slr_tpu.render.bpt import render_bpt
+
+    bpt_spp = 8
+    img_b = render_bpt(scene, width, height, spp=1, seed=1)
+    img_b.block_until_ready()
+    t0 = time.perf_counter()
+    img_b = render_bpt(scene, width, height, spp=bpt_spp, seed=1)
+    img_b.block_until_ready()
+    bpt_ksamples = n_pix * bpt_spp / (time.perf_counter() - t0) / 1e3
+
     print(
         json.dumps(
             {
@@ -70,6 +82,7 @@ def main() -> None:
                 "unit": "ksamples/s",
                 "vs_baseline": round(ksamples / BASELINE_KSAMPLES, 3),
                 "mrays_per_s": round(mrays, 3),
+                "bpt_ksamples_per_s": round(bpt_ksamples, 3),
             }
         )
     )

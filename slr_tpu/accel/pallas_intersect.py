@@ -266,9 +266,11 @@ def _chunk_worklist(rays: Array, boxes: Array) -> tuple[Array, Array]:
     key = jnp.where(blk, tn_blk, jnp.inf)
     order = jnp.argsort(key, axis=1).astype(jnp.int32)
     count = jnp.sum(blk, axis=1).astype(jnp.int32)
-    last = jnp.take_along_axis(
-        order, jnp.maximum(count - 1, 0)[:, None], axis=1
-    )
+    # One-hot select of order[count-1] (take_along_axis lowers to a
+    # scalar-core gather).
+    oh_last = (jnp.arange(nc, dtype=jnp.int32)[None, :]
+               == jnp.maximum(count - 1, 0)[:, None])
+    last = jnp.sum(jnp.where(oh_last, order, 0), axis=1, keepdims=True)
     wl = jnp.where(jnp.arange(nc, dtype=jnp.int32)[None, :] < count[:, None],
                    order, last)
     return wl.reshape(-1), count

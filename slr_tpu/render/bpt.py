@@ -236,7 +236,15 @@ def _generate_subpath(
         u1 = rng.uniform(seed, pixel_id, sample_id, bounce_id, Decision.BSDF_V)
         smp = bsdf_sample(lobes, wo, gn_sn, hero, wl_sel, uc, u0, u1,
                           adjoint=adjoint)
-        new_dir_pdf = jnp.where(smp.dispersive, smp.pdf / s_dim, smp.pdf)
+        # UNLIKE the PT renderer (PathTracingRenderer.cpp:210-213, which
+        # divides dirPDF by NumComponents at the dispersive sampling site),
+        # the reference BPT keeps the RAW pdf in subpath weights and MIS
+        # (generateSubPath, BidirectionalPathTracingRenderer.cpp:316-327) and
+        # accounts for the hero-collapse ONLY at contribution time: x N on
+        # s0/t1 contributions (:305-306) and /wlProb on connections
+        # (:194-197). Dividing here too double-counted the factor (x16
+        # bright on every dispersive glass path).
+        new_dir_pdf = smp.pdf
         wl_sel_next = wl_sel | smp.dispersive
 
         cos_in = jnp.abs(dot(smp.wi, gn_sn))
@@ -409,11 +417,35 @@ def bpt_batch(
         hero = jnp.minimum((u_wl * s_dim).astype(jnp.int32), s_dim - 1)
         select_wl_pdf = 1.0
 
-    def film_add(film, pix_idx, contribution, valid):
+    # Deferred film writes: own-pixel contributions accumulate into a dense
+    # per-lane buffer (strata binning is linear and all of a lane's
+    # contributions share its wavelength set, so one bin + one scatter at
+    # batch end suffices); t=1 lens splats queue for one combined scatter.
+    # Besides replacing ~s_max*t_max scatter-adds with two, this works
+    # around a TPU backend compiler crash (SIGILL in tpu_compile_helper)
+    # triggered by per-strategy scatter-adds inside this graph.
+    own_acc = [jnp.zeros((r, s_dim), jnp.float32)]
+    splat_q: list = []
+
+    def film_add(film, pix_idx, contribution, valid, own: bool = True):
         c = jnp.where(valid[:, None], contribution, 0.0)
+        if own:
+            own_acc[0] = own_acc[0] + c
+        else:
+            splat_q.append((pix_idx, c))
+        return film
+
+    def film_flush(film):
+        own = own_acc[0]
         if spectral:
-            c = bin_to_strata(lambdas, c)
-        return film.at[pix_idx].add(c)
+            own = bin_to_strata(lambdas, own)
+        film = film.at[pid_c].add(own)
+        if splat_q:
+            idx = jnp.concatenate([p for p, _ in splat_q])
+            vals = [bin_to_strata(lambdas, v) if spectral else v
+                    for _, v in splat_q]
+            film = film.at[idx].add(jnp.concatenate(vals, axis=0))
+        return film
 
     # ------------------------------------------------------------------
     # Light subpath (BPT cpp:117-143). With an environment light, lanes pick
@@ -545,13 +577,15 @@ def bpt_batch(
         axis=-1,
     )
     lens_p = transform_point(cam.to_world, org_local)
-    lens_n = transform_vector(
-        cam.to_world, jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (r, 3))
-    )
-    lens_x = transform_vector(
-        cam.to_world, jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0]), (r, 3))
-    )
-    lens_y = cross(lens_n, lens_x)
+    # Camera frame axes straight from the matrix columns (transform_vector
+    # of a broadcast basis vector builds a graph shape that, fused into the
+    # connection math, crashes the TPU backend compiler).
+    n3 = cam.to_world[:3, 2]
+    x3 = cam.to_world[:3, 0]
+    y3 = cross(n3, x3)
+    lens_n = jnp.broadcast_to(n3, (r, 3))
+    lens_x = jnp.broadcast_to(x3, (r, 3))
+    lens_y = jnp.broadcast_to(y3, (r, 3))
     lens_area_pdf = jnp.where(
         cam.lens_radius > 0,
         1.0 / (jnp.pi * jnp.maximum(cam.lens_radius, 1e-12) ** 2),
@@ -566,7 +600,10 @@ def bpt_batch(
          jnp.broadcast_to(cam.obj_dist, sx.shape)], axis=-1,
     )
     dir_local = normalize(p_focus - org_local)
-    we_dir_pdf = (cam.img_dist ** 2) / (dir_local[..., 2] ** 3 * img_area)
+    z_l = dir_local[..., 2]
+    we_dir_pdf = (cam.img_dist * cam.img_dist) / (
+        z_l * z_l * z_l * img_area
+    )
     e_ray_d = transform_vector(cam.to_world, dir_local)
 
     e_v0 = Vertices(
@@ -588,9 +625,10 @@ def bpt_batch(
         wl_flag=jnp.zeros((r,), bool),
         at_inf=jnp.zeros((r,), bool),
     )
-    e_alpha1 = e_v0.alpha * (
-        jnp.abs(dot(e_ray_d, lens_n)) / we_dir_pdf
-    )[:, None]
+    # cos at the lens in LOCAL space (== dot(e_ray_d, lens_n) under the
+    # rigid camera transform; the world-space form crashes the TPU backend
+    # compiler — SIGILL in tpu_compile_helper — when fused into this graph).
+    e_alpha1 = e_v0.alpha * (jnp.abs(z_l) / we_dir_pdf)[:, None]
     e_steps, s0_info, e_zero = _generate_subpath(
         scene, lens_p, e_ray_d, e_alpha1, we_dir_pdf, dir_local[..., 2],
         jnp.zeros((r,), bool), lens_p, False, seed, pid_c, sample_id, hero,
@@ -635,7 +673,7 @@ def bpt_batch(
                 scene, film, lv, ev, s, t, hero, lambdas, spectral, s_dim,
                 pid_c, width, height, cam, select_wl_pdf, film_add,
             )
-    return film
+    return film_flush(film)
 
 
 def _connect(scene, film, lv, ev, s, t, hero, lambdas, spectral, s_dim,
@@ -842,7 +880,7 @@ def _connect(scene, film, lv, ev, s, t, hero, lambdas, spectral, s_dim,
     contribution = (
         lv.alpha[:, li] * connection * ev.alpha[:, ei] * w[:, None]
     )
-    return film_add(film, splat_pix, contribution, valid)
+    return film_add(film, splat_pix, contribution, valid, own=(t != 1))
 
 
 def render_bpt(

@@ -114,3 +114,44 @@ def test_parity_quadrant_means(ours_64x48):
             om = ours_64x48[ys, xs].mean(axis=(0, 1))
             gm = gold[ys, xs].mean(axis=(0, 1))
             assert np.abs(om - gm).max() < 9.0, (ys, xs, om, gm)
+
+
+@pytest.fixture(scope="module")
+def ours_bpt_64x48():
+    import jax
+
+    from slr_tpu.render.bpt import render_bpt
+    from slr_tpu.render.film import develop
+    from slr_tpu.scene.api import load_scene
+
+    scene, _, _ = load_scene(SCENE, spectral=True)
+    img = render_bpt(scene, 64, 48, spp=24, seed=13)
+    return np.asarray(develop(jax.numpy.asarray(img))) * 255.0
+
+
+def test_parity_bpt_channel_means(ours_bpt_64x48):
+    """BPT vs the reference's own BPT render of the parity scene
+    (BidirectionalPathTracingRenderer.cpp:100-256; golden from the built
+    binary at 256 spp). Same thresholds rationale as the PT tests."""
+    gold = _down(_load_bmp("ref_parity_bpt_256spp.bmp"))
+    ours_mean = ours_bpt_64x48.mean(axis=(0, 1))
+    gold_mean = gold.mean(axis=(0, 1))
+    assert np.abs(ours_mean - gold_mean).max() < 6.0, (ours_mean, gold_mean)
+
+
+def test_parity_bpt_block_mad(ours_bpt_64x48):
+    gold = _down(_load_bmp("ref_parity_bpt_256spp.bmp"))
+    d = np.abs(ours_bpt_64x48 - gold)
+    assert d.mean() < 18.0, d.mean()
+    assert np.percentile(d, 95) < 55.0, np.percentile(d, 95)
+
+
+def test_parity_bpt_quadrant_means(ours_bpt_64x48):
+    gold = _down(_load_bmp("ref_parity_bpt_256spp.bmp"))
+    for ys in (slice(0, 24), slice(24, 48)):
+        for xs in (slice(0, 32), slice(32, 64)):
+            dq = np.abs(
+                ours_bpt_64x48[ys, xs].mean(axis=(0, 1))
+                - gold[ys, xs].mean(axis=(0, 1))
+            ).max()
+            assert dq < 10.0, (ys, xs, dq)
