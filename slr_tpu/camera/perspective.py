@@ -43,8 +43,16 @@ def sample_camera_rays_equirect(
 
     Reference EquirectangularCamera/IDF (EquirectangularCamera.cpp:28-91):
     delta lens position, lat-long direction phi = phiAngle*u, theta =
-    thetaAngle*v with PDF = 1/(phiAngle*thetaAngle*(1-y^2)); direction
-    fromPolarYUp = (-sin(phi)sin(theta), cos(theta), cos(phi)sin(theta)).
+    thetaAngle*v; direction fromPolarYUp = (-sin(phi)sin(theta), cos(theta),
+    cos(phi)sin(theta)).
+
+    DELIBERATE DEVIATION: the reference's IDF pdf uses (1 - y^2) = sin^2
+    (EquirectangularCamera.cpp:59), but the true density of the lat-long
+    mapping is 1/(phiAngle*thetaAngle*sin(theta)) — the reference's own
+    BPT t=1 splats would disagree with its forward sampling by 1/sin(theta)
+    (5x at 22 deg off the pole). No bundled reference scene exercises this
+    camera, so there is no golden to mismatch; we use the correct density
+    so PT and BPT converge to the same image (tests/test_features.py).
     """
     u = px / width
     v = py / height
@@ -54,8 +62,9 @@ def sample_camera_rays_equirect(
     dir_local = jnp.stack(
         [-jnp.sin(phi) * st, jnp.cos(theta), jnp.cos(phi) * st], axis=-1
     )
-    sin2 = jnp.maximum(1.0 - dir_local[..., 1] ** 2, 1e-6)
-    dir_pdf = 1.0 / (cam.phi_angle * cam.theta_angle * sin2)
+    dir_pdf = 1.0 / (
+        cam.phi_angle * cam.theta_angle * jnp.maximum(jnp.abs(st), 1e-6)
+    )
     o = jnp.broadcast_to(cam.to_world[:3, 3], dir_local.shape)
     d = transform_vector(cam.to_world, dir_local)
     # weight = |dot(dir, gN)| / (areaPDF=1 * dirPDF); gN = camera z axis.

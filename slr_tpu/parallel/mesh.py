@@ -29,11 +29,12 @@ import jax.numpy as jnp
 from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..camera.perspective import sample_camera_rays
+from ..camera.perspective import (sample_camera_rays,
+                                  sample_camera_rays_equirect)
 from ..core import rng
 from ..core.rng import Decision
 from ..render.pt import trace_radiance_spectral
-from ..scene.types import FlatScene
+from ..scene.types import CameraKind, FlatScene
 
 
 def init_distributed() -> None:
@@ -76,11 +77,16 @@ def _shard_film_pass(scene, pixel_id, sample_id, width, height, seed_u,
     py = (pixel_id // width).astype(jnp.float32)
     jx = rng.uniform(seed_u, pixel_id, sample_id, 0, Decision.PIXEL_X)
     jy = rng.uniform(seed_u, pixel_id, sample_id, 0, Decision.PIXEL_Y)
-    lx = rng.uniform(seed_u, pixel_id, sample_id, 0, Decision.LENS_U)
-    ly = rng.uniform(seed_u, pixel_id, sample_id, 0, Decision.LENS_V)
-    rays = sample_camera_rays(
-        scene.camera, px + jx, py + jy, width, height, lx, ly
-    )
+    if scene.camera.kind == CameraKind.EQUIRECTANGULAR:
+        rays = sample_camera_rays_equirect(
+            scene.camera, px + jx, py + jy, width, height
+        )
+    else:
+        lx = rng.uniform(seed_u, pixel_id, sample_id, 0, Decision.LENS_U)
+        ly = rng.uniform(seed_u, pixel_id, sample_id, 0, Decision.LENS_V)
+        rays = sample_camera_rays(
+            scene.camera, px + jx, py + jy, width, height, lx, ly
+        )
     c, lambdas = trace_radiance_spectral(
         scene, rays.o, rays.d, pixel_id, sample_id, seed_u, max_depth
     )

@@ -67,7 +67,7 @@ from ..core.sampling import (
     sample_continuous_2d,
     sample_discrete_1d,
 )
-from ..scene.types import FlatScene
+from ..scene.types import CameraKind, FlatScene
 from ..spectrum.rgb import importance
 from .pt import (
     _area_light_prob,
@@ -570,13 +570,7 @@ def bpt_batch(
     ly = rng.uniform(seed, pid_c, sample_id, 0, Decision.LENS_V)
     jx = rng.uniform(seed, pid_c, sample_id, 0, Decision.PIXEL_X)
     jy = rng.uniform(seed, pid_c, sample_id, 0, Decision.PIXEL_Y)
-    op_w, op_h, img_area = camera_derived(cam)
-    dx, dy = concentric_sample_disk(lx, ly)
-    org_local = jnp.stack(
-        [cam.lens_radius * dx, cam.lens_radius * dy, jnp.zeros_like(dx)],
-        axis=-1,
-    )
-    lens_p = transform_point(cam.to_world, org_local)
+    is_equirect = cam.kind == CameraKind.EQUIRECTANGULAR
     # Camera frame axes straight from the matrix columns (transform_vector
     # of a broadcast basis vector builds a graph shape that, fused into the
     # connection math, crashes the TPU backend compiler).
@@ -586,24 +580,60 @@ def bpt_batch(
     lens_n = jnp.broadcast_to(n3, (r, 3))
     lens_x = jnp.broadcast_to(x3, (r, 3))
     lens_y = jnp.broadcast_to(y3, (r, 3))
-    lens_area_pdf = jnp.where(
-        cam.lens_radius > 0,
-        1.0 / (jnp.pi * jnp.maximum(cam.lens_radius, 1e-12) ** 2),
-        1.0,
-    )
-    sensitivity = lens_area_pdf  # We0 = sensitivity folded like PT
+    if is_equirect:
+        # EquirectangularCamera: delta lens at the origin, IDF sampling
+        # phi = phiAngle*u, theta = thetaAngle*v with pdf
+        # 1/(phiAngle*thetaAngle*(1-y^2)) (EquirectangularCamera.cpp:54-63).
+        dx = jnp.zeros((r,), jnp.float32)
+        dy = jnp.zeros((r,), jnp.float32)
+        org_local = jnp.zeros((r, 3), jnp.float32)
+        lens_p = transform_point(cam.to_world, org_local)
+        lens_area_pdf = jnp.float32(1.0)
+        sensitivity = jnp.float32(1.0)
+        u_e = (px + jx) / width
+        v_e = (py + jy) / height
+        phi_e = cam.phi_angle * u_e
+        theta_e = cam.theta_angle * v_e
+        st_e = jnp.sin(theta_e)
+        dir_local = jnp.stack(
+            [-jnp.sin(phi_e) * st_e, jnp.cos(theta_e),
+             jnp.cos(phi_e) * st_e], axis=-1,
+        )
+        # True lat-long mapping density (see sample_camera_rays_equirect
+        # for the documented deviation from the reference's sin^2 pdf).
+        we_dir_pdf = 1.0 / (
+            cam.phi_angle * cam.theta_angle
+            * jnp.maximum(jnp.abs(st_e), 1e-6)
+        )
+        z_l = dir_local[..., 2]
+        v0_delta = jnp.ones((r,), bool)  # Delta0D lens position
+    else:
+        op_w, op_h, img_area = camera_derived(cam)
+        dx, dy = concentric_sample_disk(lx, ly)
+        org_local = jnp.stack(
+            [cam.lens_radius * dx, cam.lens_radius * dy, jnp.zeros_like(dx)],
+            axis=-1,
+        )
+        lens_p = transform_point(cam.to_world, org_local)
+        lens_area_pdf = jnp.where(
+            cam.lens_radius > 0,
+            1.0 / (jnp.pi * jnp.maximum(cam.lens_radius, 1e-12) ** 2),
+            1.0,
+        )
+        sensitivity = lens_area_pdf  # We0 = sensitivity folded like PT
 
-    sx = (px + jx) / width
-    sy = (py + jy) / height
-    p_focus = jnp.stack(
-        [op_w * (0.5 - sx), op_h * (0.5 - sy),
-         jnp.broadcast_to(cam.obj_dist, sx.shape)], axis=-1,
-    )
-    dir_local = normalize(p_focus - org_local)
-    z_l = dir_local[..., 2]
-    we_dir_pdf = (cam.img_dist * cam.img_dist) / (
-        z_l * z_l * z_l * img_area
-    )
+        sx = (px + jx) / width
+        sy = (py + jy) / height
+        p_focus = jnp.stack(
+            [op_w * (0.5 - sx), op_h * (0.5 - sy),
+             jnp.broadcast_to(cam.obj_dist, sx.shape)], axis=-1,
+        )
+        dir_local = normalize(p_focus - org_local)
+        z_l = dir_local[..., 2]
+        we_dir_pdf = (cam.img_dist * cam.img_dist) / (
+            z_l * z_l * z_l * img_area
+        )
+        v0_delta = jnp.broadcast_to(cam.lens_radius == 0.0, (r,))
     e_ray_d = transform_vector(cam.to_world, dir_local)
 
     e_v0 = Vertices(
@@ -619,8 +649,8 @@ def bpt_batch(
         rr_prob=jnp.ones((r,), jnp.float32),
         rev_area_pdf=jnp.ones((r,), jnp.float32),
         rev_rr_prob=jnp.ones((r,), jnp.float32),
-        # pinhole lens position is a delta distribution (posType Delta0D)
-        delta=jnp.broadcast_to(cam.lens_radius == 0.0, (r,)),
+        # pinhole/equirect lens position is a delta distribution (Delta0D)
+        delta=v0_delta,
         is_light0=jnp.zeros((r,), bool),
         wl_flag=jnp.zeros((r,), bool),
         at_inf=jnp.zeros((r,), bool),
@@ -731,7 +761,36 @@ def _connect(scene, film, lv, ev, s, t, hero, lambdas, spectral, s_dim,
         ev.tangent[:, ei], ev.bitangent[:, ei], ev.sn[:, ei], conn_dir
     )
     e_gn_sn = _gn_sn(ev, ei)
-    if t == 1:
+    if t == 1 and cam.kind == CameraKind.EQUIRECTANGULAR:
+        # EquirectangularIDF: evaluate (1 inside the angular window, pdf
+        # 1/(phiAngle*thetaAngle*(1-y^2))) + calculatePixel — the inverse of
+        # the lat-long mapping (EquirectangularCamera.cpp:64-91).
+        y_c = jnp.clip(e_conn_sn[..., 1], -1.0, 1.0)
+        theta_c = jnp.arccos(y_c)
+        phi_c = jnp.arctan2(-e_conn_sn[..., 0], e_conn_sn[..., 2])
+        phi_c = jnp.where(phi_c < 0, phi_c + 2.0 * jnp.pi, phi_c)
+        in_img = (phi_c <= cam.phi_angle) & (theta_c <= cam.theta_angle)
+        sin_c = jnp.maximum(jnp.sin(theta_c), 1e-6)
+        e_ddf = jnp.where(in_img[:, None], 1.0, 0.0) * jnp.ones((r, s_dim))
+        e_ext1_dir_pdf = jnp.where(
+            in_img, 1.0 / (cam.phi_angle * cam.theta_angle * sin_c), 0.0
+        )
+        l_ext2_dir_pdf = jnp.zeros((r,))
+        e_rev_ddf = jnp.zeros((r, s_dim))
+        smp_x = phi_c / cam.phi_angle
+        smp_y = theta_c / cam.theta_angle
+        hit_px = jnp.clip(
+            (smp_x * width).astype(jnp.int32), 0, width.astype(jnp.int32) - 1
+        )
+        hit_py = jnp.clip(
+            (smp_y * height).astype(jnp.int32), 0,
+            height.astype(jnp.int32) - 1
+        )
+        splat_pix = (
+            hit_py.astype(jnp.uint32) * width.astype(jnp.uint32)
+            + hit_px.astype(jnp.uint32)
+        )
+    elif t == 1:
         # IDF endpoint (perspective): evaluate + calculatePixel
         # (PerspectiveCamera.cpp:77-99).
         op_w, op_h, img_area = camera_derived(cam)

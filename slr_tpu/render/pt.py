@@ -859,11 +859,16 @@ def render_fused(
         sample_id = jnp.full((n_pix,), i, jnp.uint32)
         jx = rng.uniform(seed_u, pixel_id, sample_id, 0, Decision.PIXEL_X)
         jy = rng.uniform(seed_u, pixel_id, sample_id, 0, Decision.PIXEL_Y)
-        lx = rng.uniform(seed_u, pixel_id, sample_id, 0, Decision.LENS_U)
-        ly = rng.uniform(seed_u, pixel_id, sample_id, 0, Decision.LENS_V)
-        rays = sample_camera_rays(
-            scene.camera, px_i + jx, py_i + jy, width, height, lx, ly
-        )
+        if scene.camera.kind == CameraKind.EQUIRECTANGULAR:
+            rays = sample_camera_rays_equirect(
+                scene.camera, px_i + jx, py_i + jy, width, height
+            )
+        else:
+            lx = rng.uniform(seed_u, pixel_id, sample_id, 0, Decision.LENS_U)
+            ly = rng.uniform(seed_u, pixel_id, sample_id, 0, Decision.LENS_V)
+            rays = sample_camera_rays(
+                scene.camera, px_i + jx, py_i + jy, width, height, lx, ly
+            )
         c, lambdas = _trace_core(
             scene, rays.o, rays.d, pixel_id, sample_id, seed_u, max_depth,
             sort_rays=True,

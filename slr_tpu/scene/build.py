@@ -689,6 +689,23 @@ class SceneBuilder:
         # Instanced emitters are baked by the flattener, so the light table
         # only scans the static prefix.
         emissive = emit_stex[tri_mat[:n_static]] >= 0
+        # Build-time invariant: an emissive material in the instanced TAIL
+        # would be invisible to NEE (the light table covers only the static
+        # prefix) while implicit hits still get MIS-downweighted by a light
+        # pdf NEE can never realize — a silent energy bias. The flattener
+        # keeps emissive subtrees static (_subtree_emits, scene/graph.py);
+        # raise loudly if that invariant is ever violated.
+        if tri_mat.shape[0] > n_static:
+            tail_emissive = emit_stex[tri_mat[n_static:]] >= 0
+            if tail_emissive.any():
+                bad = np.unique(tri_mat[n_static:][tail_emissive])
+                raise ValueError(
+                    f"emissive material(s) {bad.tolist()} are referenced by "
+                    "instanced/animated geometry; lights on instances are "
+                    "not samplable by NEE (the light table covers the "
+                    "static prefix only) and would render biased. Keep "
+                    "emissive subtrees static."
+                )
         light_tris = np.nonzero(emissive)[0].astype(np.int32)
         n_area = len(light_tris)
         if n_area == 0:

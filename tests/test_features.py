@@ -168,3 +168,85 @@ class TestDeepAlphaCutout:
         hit = scene_intersect_alpha(scene, o, d)
         assert bool(hit.mask.all())
         np.testing.assert_allclose(np.asarray(hit.t), 7.0, atol=1e-4)
+
+
+class TestEquirectEverywhere:
+    """Round-2 VERDICT item 6: the equirectangular camera must work through
+    EVERY renderer entry point (EquirectangularCamera.cpp:30-91 works
+    anywhere the reference queries a camera)."""
+
+    @staticmethod
+    def _scene():
+        from slr_tpu.scene.build import SceneBuilder
+
+        b = SceneBuilder()
+        mat = b.add_matte(b.add_stex_const((0.6, 0.4, 0.3)))
+        em = b.add_stex_const((8.0, 8.0, 8.0))
+        emitter = b.add_emitter(b.add_matte(b.add_stex_const((0.5,) * 3)), em)
+        # room box (inward normals) + emissive ceiling panel
+        s = 2.0
+        pos = np.float32([
+            [-s, -s, -s], [s, -s, -s], [s, s, -s], [-s, s, -s],
+            [-s, -s, s], [s, -s, s], [s, s, s], [-s, s, s],
+        ])
+        quads = [(0, 1, 2, 3), (5, 4, 7, 6), (4, 0, 3, 7),
+                 (1, 5, 6, 2), (4, 5, 1, 0)]
+        for q in quads:
+            qpos = pos[list(q)]
+            n = np.cross(qpos[1] - qpos[0], qpos[2] - qpos[0])
+            n = (n / np.linalg.norm(n)).astype(np.float32)
+            nrm = np.tile(n, (4, 1))
+            tan = np.tile(np.float32([1, 0, 0] if abs(n[0]) < 0.9
+                                     else [0, 1, 0]), (4, 1))
+            uv = np.zeros((4, 2), np.float32)
+            b.add_mesh(qpos, nrm, tan, uv,
+                       np.array([[0, 1, 2], [0, 2, 3]], np.int32), mat)
+        ep = np.float32([[-0.5, 1.99, -0.5], [0.5, 1.99, -0.5],
+                         [0.5, 1.99, 0.5], [-0.5, 1.99, 0.5]])
+        nrm = np.tile(np.float32([0, -1, 0]), (4, 1))
+        tan = np.tile(np.float32([1, 0, 0]), (4, 1))
+        b.add_mesh(ep, nrm, tan, np.zeros((4, 2), np.float32),
+                   np.array([[0, 2, 1], [0, 3, 2]], np.int32), emitter)
+        b.set_camera_equirect(np.eye(4, dtype=np.float32))
+        return b.build(use_bvh=False)
+
+    def test_all_pt_entry_points_agree(self):
+        """render / render_fused / render_wavefront / render_sharded on an
+        equirect scene produce the same estimate (same RNG streams)."""
+        import jax
+
+        from slr_tpu.parallel.mesh import make_mesh, render_sharded
+        from slr_tpu.render.pt import render, render_fused
+        from slr_tpu.render.wavefront import render_wavefront
+
+        scene = self._scene()
+        w, h, spp = 16, 8, 2
+        base = np.asarray(render(scene, w, h, spp=spp, max_depth=4, seed=7))
+        fused = np.asarray(render_fused(scene, w, h, spp=spp, max_depth=4,
+                                        seed=7))
+        wf = np.asarray(render_wavefront(scene, w, h, spp=spp, max_depth=4,
+                                         seed=7))
+        np.testing.assert_allclose(fused, base, rtol=2e-3, atol=2e-4)
+        np.testing.assert_allclose(wf, base, rtol=2e-3, atol=2e-4)
+        if len(jax.devices()) >= 2:
+            mesh = make_mesh(len(jax.devices()))
+            sh = np.asarray(render_sharded(scene, w, h, spp=spp, mesh=mesh,
+                                           max_depth=4, seed=7))
+            np.testing.assert_allclose(sh, base, rtol=2e-3, atol=2e-4)
+
+    def test_bpt_converges_to_pt(self):
+        """PT-vs-BPT convergence through the equirect camera (incl. t=1
+        splats through the equirect calculatePixel inverse)."""
+        from slr_tpu.render.bpt import render_bpt
+        from slr_tpu.render.pt import render
+
+        scene = self._scene()
+        w, h = 16, 8
+        pt = np.asarray(render(scene, w, h, spp=48, max_depth=4, seed=3))
+        bpt = np.asarray(render_bpt(scene, w, h, spp=48, seed=3,
+                                    max_light_verts=4, max_eye_verts=4))
+        # block means (2x2) within MC tolerance
+        ptb = pt.reshape(4, 2, 8, 2, 3).mean(axis=(1, 3))
+        bptb = bpt.reshape(4, 2, 8, 2, 3).mean(axis=(1, 3))
+        np.testing.assert_allclose(bptb, ptb, rtol=0.25, atol=0.02)
+        np.testing.assert_allclose(bpt.mean(), pt.mean(), rtol=0.1)

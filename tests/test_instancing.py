@@ -160,3 +160,32 @@ def test_render_with_instances_finite(scene):
     img = render(scene, 24, 16, spp=2, max_depth=3)
     a = np.asarray(img)
     assert np.isfinite(a).all() and (a >= 0).all()
+
+
+def test_emissive_instance_tail_raises():
+    """Build-time invariant: an emissive material referenced by instanced
+    (BLAS-tail) geometry must raise at SceneBuilder.build — NEE cannot
+    sample lights on instances (the light table covers the static prefix
+    only), so rendering would be silently biased instead (round-2 VERDICT
+    weak #6; reference analogue: lights on TransformedSurfaceObjects,
+    SurfaceObject.cpp:361-393)."""
+    from slr_tpu.scene.build import SceneBuilder
+
+    b = SceneBuilder()
+    em = b.add_stex_const((5.0, 5.0, 5.0))
+    mat = b.add_emitter(b.add_matte(b.add_stex_const((0.5, 0.5, 0.5))), em)
+    pos = np.array([[-1, -1, 0], [1, -1, 0], [1, 1, 0]], np.float32)
+    nrm = np.tile(np.float32([0, 0, 1]), (3, 1))
+    tan = np.tile(np.float32([1, 0, 0]), (3, 1))
+    uv = np.zeros((3, 2), np.float32)
+    tri = np.array([[0, 1, 2]], np.int32)
+    # Static copy so the scene is not empty.
+    b.add_mesh(pos, nrm, tan, uv, tri, b.add_matte(
+        b.add_stex_const((0.5, 0.5, 0.5))))
+    bid = b.begin_blas()
+    b.add_mesh(pos, nrm, tan, uv, tri, mat)
+    b.end_blas()
+    b.add_instance(bid, np.eye(4, dtype=np.float32))
+    b.set_camera_perspective(np.eye(4, dtype=np.float32), 1.0, 0.5)
+    with pytest.raises(ValueError, match="emissive"):
+        b.build(use_bvh=False)
