@@ -37,15 +37,9 @@ from ..render.pt import trace_radiance_spectral
 from ..scene.types import CameraKind, FlatScene
 
 
-def init_distributed() -> None:
-    """Multi-host init (call once, before device queries, on every host).
-    Uses the standard JAX coordinator env vars; single-host setups no-op."""
-    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        jax.distributed.initialize(
-            coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
-            num_processes=int(os.environ.get("JAX_NUM_PROCESSES", "1")),
-            process_id=int(os.environ.get("JAX_PROCESS_ID", "0")),
-        )
+# Re-exported from the import-light module so it can run BEFORE anything
+# initializes the XLA backend (see parallel/distributed.py).
+from .distributed import init_distributed  # noqa: E402,F401
 
 
 def make_mesh(n_devices: int | None = None) -> Mesh:
