@@ -155,3 +155,29 @@ def test_parity_bpt_quadrant_means(ours_bpt_64x48):
                 - gold[ys, xs].mean(axis=(0, 1))
             ).max()
             assert dq < 10.0, (ys, xs, dq)
+
+
+def test_parity_aov_channels():
+    """Geometry-validation oracle (SURVEY §3.5): our AOV pass vs the built
+    reference DebugRenderer (DebugRenderer.cpp:69-190) on the parity scene.
+    Goldens rendered by HostProgram with setRenderer("debug", outputs=
+    ("geometric normal", "shading normal", "shading tangent")). Encoding is
+    the reference's 0.5*n+0.5 into 8-bit. Differences concentrate on edge
+    pixels (the reference jitters its 1-spp positions; ours samples pixel
+    centers), so we gate the mean and the fraction of agreeing pixels."""
+    import jax
+
+    from slr_tpu.render.debug import render_aovs
+    from slr_tpu.scene.api import load_scene
+
+    scene, _, _ = load_scene(SCENE, spectral=True)
+    aov = render_aovs(scene, 256, 192)
+    for name, ours in (("gnormal", aov.g_normal),
+                       ("snormal", aov.s_normal),
+                       ("tangent", aov.s_tangent)):
+        gold = _load_bmp(f"ref_parity_aov_{name}.bmp")
+        enc = np.clip((0.5 * np.asarray(ours) + 0.5) * 255.0, 0.0, 255.0)
+        d = np.abs(enc - gold)
+        assert d.mean() < 2.5, (name, d.mean())
+        assert (d.max(axis=-1) <= 8.0).mean() > 0.96, (
+            name, (d.max(axis=-1) <= 8.0).mean())
