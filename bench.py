@@ -62,6 +62,21 @@ def main() -> None:
     # one closest-hit and one NEE shadow cast per lane.
     mrays = n_pix * iters * 2 / dt / 1e6
 
+    # Secondary metric: RTC3-class instanced scene (4096 grass-blade
+    # instances x 26 local tris = ~106k effective triangles, 25% animated
+    # for motion blur) through the instanced Pallas kernel — the workload
+    # class of the reference's RTC3.txt (60x60 scanXZFromYPlus instances).
+    from slr_tpu.scene.presets import grass_field
+
+    gscene = grass_field(n_side=64, blade_segments=13, animated_fraction=0.25)
+    gw, gh, gspp = 512, 384, 4
+    img_g = render_wavefront(gscene, gw, gh, spp=1, seed=1)
+    img_g.block_until_ready()
+    t0 = time.perf_counter()
+    img_g = render_wavefront(gscene, gw, gh, spp=gspp, seed=1)
+    img_g.block_until_ready()
+    rtc3_ksamples = gw * gh * gspp / (time.perf_counter() - t0) / 1e3
+
     # Secondary metric: BPT throughput on the same scene (all (s,t)
     # strategies, 8x8 vertices; BidirectionalPathTracingRenderer.cpp).
     from slr_tpu.render.bpt import render_bpt
@@ -83,6 +98,7 @@ def main() -> None:
                 "vs_baseline": round(ksamples / BASELINE_KSAMPLES, 3),
                 "mrays_per_s": round(mrays, 3),
                 "bpt_ksamples_per_s": round(bpt_ksamples, 3),
+                "rtc3_instanced_ksamples_per_s": round(rtc3_ksamples, 3),
             }
         )
     )

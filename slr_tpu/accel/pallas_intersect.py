@@ -70,13 +70,31 @@ class PallasTris(NamedTuple):
     """Triangle tables in kernel layout (pytree; host-built, device-resident).
 
     tris:  (NC, 16, 5C) Plücker chunk tables (see module docstring)
-    boxes: (NC, 8) f32 chunk AABB + nonempty flag, scalar-prefetched to SMEM
+    boxes: (NE, 8) f32 per-ENTRY world AABB + nonempty flag (SMEM prefetch)
     remap: (NC*C,) int32 kernel slot -> original triangle id
+
+    Instancing extension (TransformedSurfaceObject analogue,
+    SurfaceObject.cpp:307-336, traversed IN-KERNEL instead of through an
+    XLA while_loop): a worklist ENTRY is a (chunk, instance) pair. Static
+    geometry has entry_inst = -1 and entry_chunk = chunk id; an instanced
+    entry points at a LOCAL-space BLAS chunk plus an instance row, and the
+    kernel transforms the ray block into instance space at each lane's
+    shutter fraction before the MXU pass (world-parameter t is preserved
+    because the transformed direction is left unnormalized).
+
+    entry_chunk: (NE,) int32 chunk id per entry
+    entry_inst:  (NE,) int32 instance id per entry (-1 = static)
+    inst_trs:    (I, 24) f32 per-instance inverse-transform data
+                 [T0(3) Q0(4) S0(3) | T1(3) Q1(4, pre-flipped for slerp)
+                  S1(3) | theta sin_theta pad*3] (SMEM prefetch)
     """
 
     tris: Array
     boxes: Array
     remap: Array
+    entry_chunk: Array = None
+    entry_inst: Array = None
+    inst_trs: Array = None
 
     @property
     def chunk(self) -> int:
@@ -85,6 +103,10 @@ class PallasTris(NamedTuple):
     @property
     def n_chunks(self) -> int:
         return self.tris.shape[0]
+
+    @property
+    def n_entries(self) -> int:
+        return self.boxes.shape[0]
 
 
 def _morton_order(cent: np.ndarray) -> np.ndarray:
@@ -225,6 +247,141 @@ def build_pallas_tris(geom: Geometry, chunk: int = DEFAULT_CHUNK,
         tris=jnp.asarray(tris),
         boxes=jnp.asarray(boxes),
         remap=jnp.asarray(remap),
+        entry_chunk=jnp.arange(nc, dtype=jnp.int32),
+        entry_inst=jnp.full((nc,), -1, jnp.int32),
+        inst_trs=jnp.zeros((1, 24), jnp.float32),
+    )
+
+
+def chunk_table_rows(pos: np.ndarray, tri: np.ndarray,
+                     chunk_tris: list) -> tuple:
+    """Shared chunk-table packing: list of triangle-id arrays -> (tris
+    (NC,16,5C), local AABBs (NC,6), remap (NC*C,)). Factored out of
+    build_pallas_tris so instanced BLAS chunks use identical layout."""
+    chunk = DEFAULT_CHUNK
+    nc = len(chunk_tris)
+    slot_tri = np.zeros((nc, chunk), np.int64)
+    slot_valid = np.zeros((nc, chunk), bool)
+    boxes = np.zeros((nc, 6), np.float32)
+    for c, ids in enumerate(chunk_tris):
+        k = len(ids)
+        slot_tri[c, :k] = ids
+        slot_valid[c, :k] = True
+        if k:
+            pts = pos[tri[np.asarray(ids, np.int64)].reshape(-1)]
+            boxes[c, 0:3] = pts.min(axis=0)
+            boxes[c, 3:6] = pts.max(axis=0)
+
+    flat_tri = slot_tri.reshape(-1)
+    p0 = pos[tri[flat_tri, 0]].copy()
+    p1 = pos[tri[flat_tri, 1]].copy()
+    p2 = pos[tri[flat_tri, 2]].copy()
+    v = slot_valid.reshape(-1)
+    p0[~v] = 0.0
+    p1[~v] = 0.0
+    p2[~v] = 0.0
+
+    def edge6(a, b):
+        return np.concatenate([np.cross(a, b), b - a], axis=-1)
+
+    e = np.stack([edge6(p0, p1), edge6(p1, p2), edge6(p2, p0)], axis=1)
+    n = np.cross(p1 - p0, p2 - p0)
+    d0 = np.einsum("ij,ij->i", n, p0)
+    tt = nc * chunk
+    tris = np.zeros((tt, ROWS, 5), np.float32)
+    tris[:, 0:6, 0] = e[:, 0]
+    tris[:, 0:6, 1] = e[:, 1]
+    tris[:, 0:6, 2] = e[:, 2]
+    tris[:, 0:3, 3] = n
+    tris[:, 6:9, 4] = -n
+    tris[:, 9, 4] = d0
+    tris = tris.reshape(nc, chunk, ROWS, 5).transpose(0, 2, 3, 1).reshape(
+        nc, ROWS, 5 * chunk
+    )
+    remap = np.where(v, flat_tri, -1).astype(np.int32)
+    return tris, boxes, remap
+
+
+def extend_pallas_instanced(static_pt: PallasTris, positions, tri_vidx,
+                            blas_ranges: list, rows: list) -> PallasTris:
+    """Append LOCAL-space BLAS chunks + per-(instance, chunk) worklist
+    entries to a static chunk table, making the ONE Pallas kernel cover the
+    whole two-level scene (the TransformedSurfaceObject mix,
+    SurfaceObject.cpp:307-336). Entry boxes are the instance-transformed
+    (motion-union, for animated rows) world AABBs of each BLAS chunk."""
+    from ..core.transform import decompose_trs, motion_bounds_np
+
+    pos = np.asarray(positions, np.float32)
+    tv = np.asarray(tri_vidx, np.int64)
+    chunk = static_pt.chunk
+    nc_s = static_pt.n_chunks
+
+    # Chunk each BLAS's local triangles (Morton order within the BLAS).
+    blas_chunks: list[list[np.ndarray]] = []
+    all_tris = [np.asarray(static_pt.tris)]
+    all_remap = [np.asarray(static_pt.remap)]
+    local_boxes: list[np.ndarray] = []
+    next_chunk = nc_s
+    blas_chunk_ids: list[np.ndarray] = []
+    for lo, hi in blas_ranges:
+        ids = np.arange(lo, hi, dtype=np.int64)
+        if len(ids) > 1:
+            cent = (pos[tv[ids, 0]] + pos[tv[ids, 1]] + pos[tv[ids, 2]]) / 3.0
+            ids = ids[_morton_order(cent)]
+        pieces = [ids[i:i + chunk] for i in range(0, len(ids), chunk)]
+        tris_b, boxes_b, remap_b = chunk_table_rows(pos, tv, pieces)
+        all_tris.append(tris_b)
+        all_remap.append(remap_b)
+        local_boxes.append(boxes_b)
+        blas_chunk_ids.append(
+            np.arange(next_chunk, next_chunk + len(pieces), dtype=np.int32))
+        next_chunk += len(pieces)
+        blas_chunks.append(pieces)
+
+    # Entries: static chunks first, then (instance x BLAS chunk).
+    e_box = [np.asarray(static_pt.boxes)]
+    e_chunk = [np.asarray(static_pt.entry_chunk)]
+    e_inst = [np.asarray(static_pt.entry_inst)]
+    inst_trs = np.zeros((max(len(rows), 1), 24), np.float32)
+    for i, (bid, m0, m1) in enumerate(rows):
+        tr0 = decompose_trs(m0)
+        tr1 = decompose_trs(m1)
+        T0, Q0, S0 = tr0
+        T1, Q1, S1 = tr1
+        d_q = float(np.dot(Q0, Q1))
+        Q1f = Q1 if d_q >= 0 else -Q1
+        theta = float(np.arccos(np.clip(abs(d_q), 0.0, 1.0)))
+        inst_trs[i, 0:3] = T0
+        inst_trs[i, 3:7] = Q0
+        inst_trs[i, 7:10] = S0
+        inst_trs[i, 10:13] = T1
+        inst_trs[i, 13:17] = Q1f
+        inst_trs[i, 17:20] = S1
+        inst_trs[i, 20] = theta
+        inst_trs[i, 21] = float(np.sin(theta))
+        static = np.allclose(np.asarray(m0), np.asarray(m1))
+        lb = local_boxes[bid]
+        n_bc = lb.shape[0]
+        eb = np.zeros((n_bc, 8), np.float32)
+        for c in range(n_bc):
+            bmin, bmax = motion_bounds_np(
+                lb[c, 0:3], lb[c, 3:6], tr0, tr1,
+                steps=1 if static else 16,
+            )
+            eb[c, 0:3] = bmin
+            eb[c, 3:6] = bmax
+            eb[c, 6] = 1.0
+        e_box.append(eb)
+        e_chunk.append(blas_chunk_ids[bid])
+        e_inst.append(np.full((n_bc,), i, np.int32))
+
+    return PallasTris(
+        tris=jnp.asarray(np.concatenate(all_tris, axis=0)),
+        boxes=jnp.asarray(np.concatenate(e_box, axis=0)),
+        remap=jnp.asarray(np.concatenate(all_remap, axis=0)),
+        entry_chunk=jnp.asarray(np.concatenate(e_chunk, axis=0)),
+        entry_inst=jnp.asarray(np.concatenate(e_inst, axis=0)),
+        inst_trs=jnp.asarray(inst_trs),
     )
 
 
@@ -276,6 +433,89 @@ def _chunk_worklist(rays: Array, boxes: Array) -> tuple[Array, Array]:
     return wl.reshape(-1), count
 
 
+def _chunk_worklist_bundle(rays: Array, boxes: Array) -> tuple[Array, Array]:
+    """Bundle (per-block interval-arithmetic) worklist culling for LARGE
+    entry tables: the per-ray variant materializes (NB, RB, NE) floats,
+    which at thousands of instanced entries is gigabytes. Per block, ray
+    origins/directions are collapsed to intervals and each entry box is
+    slab-tested conservatively — (NB, NE) work. Blocks are direction-octant
+    sorted (pt._ray_sort_key leads with the octant), so direction intervals
+    rarely straddle zero and the conservative test stays tight."""
+    nb, _, rb = rays.shape
+    ne = boxes.shape[0]
+    o = rays[:, 6:9, :]
+    d = rays[:, 0:3, :]
+    tminr = rays[:, 10, :]
+    tmaxr = rays[:, 11, :]
+    act = tmaxr >= tminr                               # (NB, RB)
+    any_act = jnp.any(act, axis=1)                     # (NB,)
+    big = jnp.float32(T_FAR)
+
+    def mask_minmax(x):
+        lo = jnp.min(jnp.where(act[:, None, :], x, big), axis=2)
+        hi = jnp.max(jnp.where(act[:, None, :], x, -big), axis=2)
+        return lo, hi                                   # (NB, 3)
+
+    olo, ohi = mask_minmax(o)
+    dlo, dhi = mask_minmax(d)
+    tmax_hi = jnp.max(jnp.where(act, tmaxr, -big), axis=1)   # (NB,)
+
+    tn_l = jnp.full((nb, ne), -T_FAR, jnp.float32)
+    tf_u = jnp.full((nb, ne), T_FAR, jnp.float32)
+    for a in range(3):
+        blo = boxes[:, a][None, :]
+        bhi = boxes[:, 3 + a][None, :]
+        d0 = dlo[:, a][:, None]
+        d1 = dhi[:, a][:, None]
+        same_sign = (d0 * d1) > 0.0
+        inv0 = 1.0 / jnp.where(same_sign, d0, 1.0)
+        inv1 = 1.0 / jnp.where(same_sign, d1, 1.0)
+        # numerator interval of (b - o) for each plane
+        n0_lo = blo - ohi[:, a][:, None]
+        n0_hi = blo - olo[:, a][:, None]
+        n1_lo = bhi - ohi[:, a][:, None]
+        n1_hi = bhi - olo[:, a][:, None]
+        prods = jnp.stack([
+            n0_lo * inv0, n0_lo * inv1, n0_hi * inv0, n0_hi * inv1,
+            n1_lo * inv0, n1_lo * inv1, n1_hi * inv0, n1_hi * inv1,
+        ])
+        p_lo = jnp.min(prods, axis=0)
+        p_hi = jnp.max(prods, axis=0)
+        # Axis with direction interval spanning zero: unconstrained.
+        p_lo = jnp.where(same_sign, p_lo, -T_FAR)
+        p_hi = jnp.where(same_sign, p_hi, T_FAR)
+        tn_l = jnp.maximum(tn_l, p_lo)
+        tf_u = jnp.minimum(tf_u, p_hi)
+
+    ok = (
+        (tn_l <= tf_u)
+        & (tf_u >= 0.0)
+        & (tn_l <= tmax_hi[:, None])
+        & (boxes[:, 6][None, :] > 0.5)
+        & any_act[:, None]
+    )
+    key = jnp.where(ok, jnp.maximum(tn_l, 0.0), jnp.inf)
+    order = jnp.argsort(key, axis=1).astype(jnp.int32)
+    count = jnp.sum(ok, axis=1).astype(jnp.int32)
+    oh_last = (jnp.arange(ne, dtype=jnp.int32)[None, :]
+               == jnp.maximum(count - 1, 0)[:, None])
+    last = jnp.sum(jnp.where(oh_last, order, 0), axis=1, keepdims=True)
+    wl = jnp.where(jnp.arange(ne, dtype=jnp.int32)[None, :] < count[:, None],
+                   order, last)
+    return wl.reshape(-1), count
+
+
+# Entry-count threshold above which the worklist switches to the bundle
+# test (the per-ray test allocates (NB, RB, NE) floats).
+BUNDLE_THRESHOLD = 192
+
+
+def _build_worklist(rays: Array, boxes: Array) -> tuple[Array, Array]:
+    if boxes.shape[0] > BUNDLE_THRESHOLD:
+        return _chunk_worklist_bundle(rays, boxes)
+    return _chunk_worklist(rays, boxes)
+
+
 def worklist_stats(pt: "PallasTris", o: Array, d: Array,
                    active: Array | None = None,
                    rb: int = RB) -> dict:
@@ -322,19 +562,22 @@ def _contract(rays16, tris16, chunk: int):
 
 
 def _block_hits_box(rays16, boxes_ref, c, upper, enable=None):
-    """True if ANY (enabled) ray in the block can hit chunk c's AABB closer
+    """True if ANY (enabled) ray in the block can hit entry c's AABB closer
     than its per-ray `upper` bound. Box bounds come from prefetched SMEM
-    scalars; ~30 VPU ops on (rb,) vectors vs ~10^5 for the chunk pipeline."""
+    scalars (flattened 1-D: 2-D SMEM operands pad the minor dim to a full
+    128 lanes, 16x the footprint); ~30 VPU ops on (rb,) vectors vs ~10^5
+    for the chunk pipeline."""
     d0, d1, d2 = rays16[0, :], rays16[1, :], rays16[2, :]
     o = (rays16[6, :], rays16[7, :], rays16[8, :])
     tmin = rays16[10, :]
     tn = jnp.full_like(tmin, -T_FAR)
     tf = jnp.full_like(tmin, T_FAR)
+    cb = c * 8
     for axis, dd in enumerate((d0, d1, d2)):
         inv = 1.0 / jnp.where(jnp.abs(dd) < 1e-20,
                               jnp.where(dd >= 0, 1e-20, -1e-20), dd)
-        t0 = (boxes_ref[c, axis] - o[axis]) * inv
-        t1 = (boxes_ref[c, 3 + axis] - o[axis]) * inv
+        t0 = (boxes_ref[cb + axis] - o[axis]) * inv
+        t1 = (boxes_ref[cb + 3 + axis] - o[axis]) * inv
         tn = jnp.maximum(tn, jnp.minimum(t0, t1))
         tf = jnp.minimum(tf, jnp.maximum(t0, t1))
     ok = (tn <= tf) & (tf >= tmin) & (tn <= upper)
@@ -343,19 +586,99 @@ def _block_hits_box(rays16, boxes_ref, c, upper, enable=None):
     return jnp.any(ok)
 
 
-def _kernel(wl_ref, cnt_ref, boxes_ref, rays_ref, tris_hbm, t_ref, idx_ref,
-            buf, sem, *, chunk: int, rb: int, ncap: int):
+def _xform_rays(rays16, itrs_ref, i, rbuf, rb):
+    """Write the ray block transformed into instance i's LOCAL space into
+    rbuf (rows 0:3 dir, 3:6 moment, 6:9 origin). Per-lane TRS interpolation
+    at each lane's shutter fraction (rays16 row 12); the direction is left
+    UNNORMALIZED so the intersection parameter t stays the world parameter
+    (Transform.h:89-143 / SurfaceObject.cpp:320-336 semantics)."""
+    f = rays16[12, :]
+    ib = i * 24
+    theta = itrs_ref[ib + 20]
+    sin_t = itrs_ref[ib + 21]
+    near = sin_t < 1e-4
+    inv_sin = 1.0 / jnp.where(near, 1.0, sin_t)
+    w0 = jnp.where(near, 1.0 - f, jnp.sin((1.0 - f) * theta) * inv_sin)
+    w1 = jnp.where(near, f, jnp.sin(f * theta) * inv_sin)
+    qx = w0 * itrs_ref[ib + 3] + w1 * itrs_ref[ib + 13]
+    qy = w0 * itrs_ref[ib + 4] + w1 * itrs_ref[ib + 14]
+    qz = w0 * itrs_ref[ib + 5] + w1 * itrs_ref[ib + 15]
+    qw = w0 * itrs_ref[ib + 6] + w1 * itrs_ref[ib + 16]
+    qn = jax.lax.rsqrt(jnp.maximum(qx * qx + qy * qy + qz * qz + qw * qw,
+                                   1e-20))
+    qx = qx * qn
+    qy = qy * qn
+    qz = qz * qn
+    qw = qw * qn
+    one_f = 1.0 - f
+    tx = one_f * itrs_ref[ib + 0] + f * itrs_ref[ib + 10]
+    ty = one_f * itrs_ref[ib + 1] + f * itrs_ref[ib + 11]
+    tz = one_f * itrs_ref[ib + 2] + f * itrs_ref[ib + 12]
+    sx = one_f * itrs_ref[ib + 7] + f * itrs_ref[ib + 17]
+    sy = one_f * itrs_ref[ib + 8] + f * itrs_ref[ib + 18]
+    sz = one_f * itrs_ref[ib + 9] + f * itrs_ref[ib + 19]
+    inv_sx = 1.0 / sx
+    inv_sy = 1.0 / sy
+    inv_sz = 1.0 / sz
+
+    def invrot(vx, vy, vz):
+        # R^-1 v = v + 2(-qw (u x v) + u x (u x v)), u = (qx, qy, qz)
+        cx = qy * vz - qz * vy
+        cy = qz * vx - qx * vz
+        cz = qx * vy - qy * vx
+        dx_ = qy * cz - qz * cy
+        dy_ = qz * cx - qx * cz
+        dz_ = qx * cy - qy * cx
+        return (vx + 2.0 * (-qw * cx + dx_),
+                vy + 2.0 * (-qw * cy + dy_),
+                vz + 2.0 * (-qw * cz + dz_))
+
+    olx, oly, olz = invrot(rays16[6, :] - tx, rays16[7, :] - ty,
+                           rays16[8, :] - tz)
+    olx = olx * inv_sx
+    oly = oly * inv_sy
+    olz = olz * inv_sz
+    dlx, dly, dlz = invrot(rays16[0, :], rays16[1, :], rays16[2, :])
+    dlx = dlx * inv_sx
+    dly = dly * inv_sy
+    dlz = dlz * inv_sz
+    rbuf[0, :] = dlx
+    rbuf[1, :] = dly
+    rbuf[2, :] = dlz
+    rbuf[3, :] = oly * dlz - olz * dly
+    rbuf[4, :] = olz * dlx - olx * dlz
+    rbuf[5, :] = olx * dly - oly * dlx
+    rbuf[6, :] = olx
+    rbuf[7, :] = oly
+    rbuf[8, :] = olz
+    rbuf[9, :] = jnp.ones((rb,), jnp.float32)
+    # Rows 10-15 multiply all-zero tri-table rows, but uninitialized VMEM
+    # can hold NaN and 0 * NaN poisons the contraction — zero them.
+    rbuf[10:16, :] = jnp.zeros((6, rb), jnp.float32)
+
+
+def _kernel(cnt_ref, boxes_ref, echunk_ref, einst_ref, itrs_ref,
+            rays_ref, wl_hbm, tris_hbm, t_ref, idx_ref, inst_ref, buf, rbuf,
+            wl_ref, sem, wl_sem, *, chunk: int, rb: int, ncap: int):
     i = pl.program_id(0)
     rays16 = rays_ref[0]          # (16, RB)
     tmin = rays16[10, :]
     tmax = rays16[11, :]
     t_ref[0, 0, :] = tmax
     idx_ref[0, 0, :] = jnp.full((rb,), -1, jnp.int32)
+    inst_ref[0, 0, :] = jnp.full((rb,), -1, jnp.int32)
     n = cnt_ref[i]
-    base = i * ncap
+    # The (NB, NE) worklist lives in HBM (it exceeds SMEM at instanced
+    # entry counts); each block DMAs its row into SMEM scratch.
+    wl_cp = pltpu.make_async_copy(wl_hbm.at[i], wl_ref, wl_sem)
+    wl_cp.start()
+    wl_cp.wait()
+
+    def wl_at(k):
+        return wl_ref[k // 128, jax.lax.rem(k, 128)]
 
     def dma(slot, k):
-        c = wl_ref[base + k]
+        c = echunk_ref[wl_at(k)]
         return pltpu.make_async_copy(tris_hbm.at[c], buf.at[slot],
                                      sem.at[slot])
 
@@ -371,12 +694,22 @@ def _kernel(wl_ref, cnt_ref, boxes_ref, rays_ref, tris_hbm, t_ref, idx_ref,
                 dma(1 - slot, k + 1).start()
 
             dma(slot, k).wait()
-            c = wl_ref[base + k]
+            e = wl_at(k)
+            inst = einst_ref[e]
 
-            @pl.when(_block_hits_box(rays16, boxes_ref, c, t_ref[0, 0, :]))
+            @pl.when(_block_hits_box(rays16, boxes_ref, e, t_ref[0, 0, :]))
             def _chunk():
+                @pl.when(inst < 0)
+                def _copy():
+                    rbuf[:, :] = rays16
+
+                @pl.when(inst >= 0)
+                def _xform():
+                    _xform_rays(rays16, itrs_ref, jnp.maximum(inst, 0),
+                                rbuf, rb)
+
                 tris16 = buf[pl.ds(slot, 1)][0]
-                through, den, num = _contract(rays16, tris16, chunk)
+                through, den, num = _contract(rbuf[:, :], tris16, chunk)
                 denom_ok = jnp.abs(den) > 1e-12
                 t = num / jnp.where(denom_ok, den, 1.0)
 
@@ -391,17 +724,21 @@ def _kernel(wl_ref, cnt_ref, boxes_ref, rays_ref, tris_hbm, t_ref, idx_ref,
                 t_min = jnp.min(t_hit, axis=1)       # (RB,)
                 a_min = jnp.argmin(t_hit, axis=1).astype(jnp.int32)
                 closer = t_min < t_ref[0, 0, :]
+                c = echunk_ref[e]
                 t_ref[0, 0, :] = jnp.where(closer, t_min, t_ref[0, 0, :])
                 idx_ref[0, 0, :] = jnp.where(
                     closer, c * chunk + a_min, idx_ref[0, 0, :]
                 )
+                inst_ref[0, 0, :] = jnp.where(closer, inst,
+                                              inst_ref[0, 0, :])
             return 0
 
         jax.lax.fori_loop(0, n, body, 0)
 
 
-def _kernel_any(wl_ref, cnt_ref, boxes_ref, rays_ref, tris_hbm, hit_ref,
-                buf, sem, *, chunk: int, rb: int, ncap: int):
+def _kernel_any(cnt_ref, boxes_ref, echunk_ref, einst_ref, itrs_ref,
+                rays_ref, wl_hbm, tris_hbm, hit_ref, buf, rbuf, wl_ref, sem,
+                wl_sem, *, chunk: int, rb: int, ncap: int):
     """Any-hit (shadow) variant: no argmin, no division. A triangle occludes
     iff t = num/den lies in [tmin, tmax], tested as sign conditions on
     (num - tmin*den)·(num - tmax*den) — fmas instead of a divide. Once every
@@ -413,10 +750,15 @@ def _kernel_any(wl_ref, cnt_ref, boxes_ref, rays_ref, tris_hbm, hit_ref,
     live = tmax >= tmin                        # lanes with a real query
     hit_ref[0, 0, :] = jnp.zeros((rb,), jnp.int32)
     n = cnt_ref[i]
-    base = i * ncap
+    wl_cp = pltpu.make_async_copy(wl_hbm.at[i], wl_ref, wl_sem)
+    wl_cp.start()
+    wl_cp.wait()
+
+    def wl_at(k):
+        return wl_ref[k // 128, jax.lax.rem(k, 128)]
 
     def dma(slot, k):
-        c = wl_ref[base + k]
+        c = echunk_ref[wl_at(k)]
         return pltpu.make_async_copy(tris_hbm.at[c], buf.at[slot],
                                      sem.at[slot])
 
@@ -432,14 +774,24 @@ def _kernel_any(wl_ref, cnt_ref, boxes_ref, rays_ref, tris_hbm, hit_ref,
                 dma(1 - slot, k + 1).start()
 
             dma(slot, k).wait()
-            c = wl_ref[base + k]
+            e = wl_at(k)
+            inst = einst_ref[e]
             open_ray = live & (hit_ref[0, 0, :] == 0)
 
-            @pl.when(_block_hits_box(rays16, boxes_ref, c, tmax,
+            @pl.when(_block_hits_box(rays16, boxes_ref, e, tmax,
                                      enable=open_ray))
             def _chunk():
+                @pl.when(inst < 0)
+                def _copy():
+                    rbuf[:, :] = rays16
+
+                @pl.when(inst >= 0)
+                def _xform():
+                    _xform_rays(rays16, itrs_ref, jnp.maximum(inst, 0),
+                                rbuf, rb)
+
                 tris16 = buf[pl.ds(slot, 1)][0]
-                through, den, num = _contract(rays16, tris16, chunk)
+                through, den, num = _contract(rbuf[:, :], tris16, chunk)
                 lo = num - tmin[:, None] * den       # den * (t - tmin)
                 hi = num - tmax[:, None] * den
                 in_range = (lo * hi <= 0) & (jnp.abs(den) > 1e-12)
@@ -458,25 +810,43 @@ def _kernel_any(wl_ref, cnt_ref, boxes_ref, rays_ref, tris_hbm, hit_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("chunk", "n_chunks", "rb", "interpret"))
-def _run_kernel(wl, cnt, boxes, rays, tris, chunk, n_chunks, rb=RB,
-                interpret=False):
+                   static_argnames=("chunk", "n_entries", "rb", "interpret"))
+def _run_kernel(wl, cnt, boxes, echunk, einst, itrs, rays, tris, chunk,
+                n_entries, rb=RB, interpret=False):
     nb = rays.shape[0]
-    kernel = functools.partial(_kernel, chunk=chunk, rb=rb, ncap=n_chunks)
+    # Pad the worklist row to a full (8, 128) tile multiple: the per-block
+    # slice wl[i] must be tile-aligned in BOTH trailing dims or the DMA
+    # reads garbage (observed as TPU worker faults at 3+ sublane rows).
+    # Padding repeats the last valid entry and is never visited (cnt gates
+    # the loop).
+    ne_pad = -(-n_entries // 1024) * 1024
+    wl2 = wl.reshape(nb, n_entries)
+    if ne_pad != n_entries:
+        wl2 = jnp.concatenate(
+            [wl2, jnp.broadcast_to(wl2[:, -1:], (nb, ne_pad - n_entries))],
+            axis=1,
+        )
+    wl2 = wl2.reshape(nb, ne_pad // 128, 128)
+    kernel = functools.partial(_kernel, chunk=chunk, rb=rb, ncap=ne_pad)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=5,
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((1, ROWS, rb), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, rb), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec((1, 1, rb), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, 1, rb), lambda i, *_: (i, 0, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, ROWS, 5 * chunk), jnp.float32),
+            pltpu.VMEM((ROWS, rb), jnp.float32),
+            pltpu.SMEM((ne_pad // 128, 128), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
         ],
     )
     return pl.pallas_call(
@@ -485,28 +855,42 @@ def _run_kernel(wl, cnt, boxes, rays, tris, chunk, n_chunks, rb=RB,
         out_shape=[
             jax.ShapeDtypeStruct((nb, 1, rb), jnp.float32),
             jax.ShapeDtypeStruct((nb, 1, rb), jnp.int32),
+            jax.ShapeDtypeStruct((nb, 1, rb), jnp.int32),
         ],
         interpret=interpret,
-    )(wl, cnt, boxes, rays, tris)
+    )(cnt, boxes.reshape(-1), echunk, einst,
+      itrs.reshape(-1), rays, wl2, tris)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("chunk", "n_chunks", "rb", "interpret"))
-def _run_kernel_any(wl, cnt, boxes, rays, tris, chunk, n_chunks, rb=RB,
-                    interpret=False):
+                   static_argnames=("chunk", "n_entries", "rb", "interpret"))
+def _run_kernel_any(wl, cnt, boxes, echunk, einst, itrs, rays, tris, chunk,
+                    n_entries, rb=RB, interpret=False):
     nb = rays.shape[0]
-    kernel = functools.partial(_kernel_any, chunk=chunk, rb=rb, ncap=n_chunks)
+    ne_pad = -(-n_entries // 1024) * 1024
+    wl2 = wl.reshape(nb, n_entries)
+    if ne_pad != n_entries:
+        wl2 = jnp.concatenate(
+            [wl2, jnp.broadcast_to(wl2[:, -1:], (nb, ne_pad - n_entries))],
+            axis=1,
+        )
+    wl2 = wl2.reshape(nb, ne_pad // 128, 128)
+    kernel = functools.partial(_kernel_any, chunk=chunk, rb=rb, ncap=ne_pad)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=5,
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((1, ROWS, rb), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[pl.BlockSpec((1, 1, rb), lambda i, *_: (i, 0, 0))],
         scratch_shapes=[
             pltpu.VMEM((2, ROWS, 5 * chunk), jnp.float32),
+            pltpu.VMEM((ROWS, rb), jnp.float32),
+            pltpu.SMEM((ne_pad // 128, 128), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
         ],
     )
     return pl.pallas_call(
@@ -514,25 +898,30 @@ def _run_kernel_any(wl, cnt, boxes, rays, tris, chunk, n_chunks, rb=RB,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((nb, 1, rb), jnp.int32)],
         interpret=interpret,
-    )(wl, cnt, boxes, rays, tris)
+    )(cnt, boxes.reshape(-1), echunk, einst,
+      itrs.reshape(-1), rays, wl2, tris)
 
 
 # ---------------------------------------------------------------------------
 # Host-facing entry points
 # ---------------------------------------------------------------------------
 
-def _pack_rays(o, d, tmin_a, tmax_a, rb=RB):
+def _pack_rays(o, d, tmin_a, tmax_a, rb=RB, f=None):
     """(R, 3)x2 + (R,)x2 -> (NB, 16, rb) with the Plücker moment m = o x d
-    precomputed once per ray (XLA fuses this into the surrounding graph)."""
+    precomputed once per ray (XLA fuses this into the surrounding graph).
+    Row 12 carries the per-ray shutter fraction (instanced scenes)."""
     r = o.shape[0]
     nb = -(-r // rb)
     pad = nb * rb - r
     from ..core.math3d import cross as _cross3
     m = _cross3(o, d)
     ones = jnp.ones((r, 1), jnp.float32)
-    zeros = jnp.zeros((r, ROWS - 12), jnp.float32)
+    f_col = (jnp.zeros((r, 1), jnp.float32) if f is None
+             else jnp.broadcast_to(f, (r,))[:, None])
+    zeros = jnp.zeros((r, ROWS - 13), jnp.float32)
     rays = jnp.concatenate(
-        [d, m, o, ones, tmin_a[:, None], tmax_a[:, None], zeros], axis=1
+        [d, m, o, ones, tmin_a[:, None], tmax_a[:, None], f_col, zeros],
+        axis=1,
     )  # (R, 16)
     if pad:
         # Padding lanes are inert: degenerate [T_FAR, -T_FAR] range.
@@ -558,6 +947,16 @@ def _ray_ranges(r, tmin, tmax, active):
     return tmin_a, tmax_a
 
 
+def _prefetch_tables(pt: PallasTris):
+    echunk = (pt.entry_chunk if pt.entry_chunk is not None
+              else jnp.arange(pt.n_chunks, dtype=jnp.int32))
+    einst = (pt.entry_inst if pt.entry_inst is not None
+             else jnp.full((pt.n_chunks,), -1, jnp.int32))
+    itrs = (pt.inst_trs if pt.inst_trs is not None
+            else jnp.zeros((1, 24), jnp.float32))
+    return echunk, einst, itrs
+
+
 def anyhit_pallas(
     geom: Geometry,
     pt: PallasTris,
@@ -568,17 +967,19 @@ def anyhit_pallas(
     active: Array | None = None,
     interpret: bool = False,
     rb: int = RB,
+    f: Array | None = None,
 ) -> Array:
     """Occlusion query (bool per ray): True if anything lies in [tmin, tmax].
     The shadow-ray path of Scene::testVisibility — cheaper than closest-hit
     (no per-triangle divide, no argmin)."""
     r = o.shape[0]
     tmin_a, tmax_a = _ray_ranges(r, tmin, tmax, active)
-    rays, _ = _pack_rays(o, d, tmin_a, tmax_a, rb)
-    wl, cnt = _chunk_worklist(rays, pt.boxes)
+    rays, _ = _pack_rays(o, d, tmin_a, tmax_a, rb, f=f)
+    wl, cnt = _build_worklist(rays, pt.boxes)
+    echunk, einst, itrs = _prefetch_tables(pt)
     (hit,) = _run_kernel_any(
-        wl, cnt, pt.boxes, rays, pt.tris, pt.chunk, pt.n_chunks, rb=rb,
-        interpret=interpret,
+        wl, cnt, pt.boxes, echunk, einst, itrs, rays, pt.tris, pt.chunk,
+        pt.n_entries, rb=rb, interpret=interpret,
     )
     return hit.reshape(-1)[:r] > 0
 
@@ -593,19 +994,26 @@ def intersect_pallas(
     active: Array | None = None,
     interpret: bool = False,
     rb: int = RB,
+    f: Array | None = None,
+    instances=None,
 ) -> Hit:
-    """Closest hit via the worklist kernel. o/d: (R, 3)."""
+    """Closest hit via the worklist kernel. o/d: (R, 3). With an instanced
+    table (pt.instanced), pass the per-ray shutter fraction `f` and the
+    scene's Instances rows so the winning lane's barycentrics are recovered
+    against the LOCAL-space triangle."""
     r = o.shape[0]
     tmin_a, tmax_a = _ray_ranges(r, tmin, tmax, active)
-    rays, _ = _pack_rays(o, d, tmin_a, tmax_a, rb)
-    wl, cnt = _chunk_worklist(rays, pt.boxes)
+    rays, _ = _pack_rays(o, d, tmin_a, tmax_a, rb, f=f)
+    wl, cnt = _build_worklist(rays, pt.boxes)
+    echunk, einst, itrs = _prefetch_tables(pt)
 
-    best_t, best_idx = _run_kernel(
-        wl, cnt, pt.boxes, rays, pt.tris, pt.chunk, pt.n_chunks, rb=rb,
-        interpret=interpret,
+    best_t, best_idx, best_inst = _run_kernel(
+        wl, cnt, pt.boxes, echunk, einst, itrs, rays, pt.tris, pt.chunk,
+        pt.n_entries, rb=rb, interpret=interpret,
     )
     best_t = best_t.reshape(-1)[:r]
     slot = best_idx.reshape(-1)[:r]
+    inst = best_inst.reshape(-1)[:r]
     tri = jnp.where(slot >= 0, pt.remap[jnp.maximum(slot, 0)], -1)
     mask = (tri >= 0) & (best_t < T_FAR) & (best_t < tmax_a * (1.0 + 1e-6))
 
@@ -622,9 +1030,29 @@ def intersect_pallas(
         p0 = geom.positions[vidx[:, 0]]
         p1 = geom.positions[vidx[:, 1]]
         p2 = geom.positions[vidx[:, 2]]
-    t_mt, b1, b2, _ = moller_trumbore(o, d, p0, p1, p2, 0.0, jnp.inf)
+    o_mt, d_mt = o, d
+    if instances is not None:
+        # Instanced winners: recover barycentrics against the LOCAL-space
+        # triangle with the ray transformed into instance space (t stays
+        # the world parameter — unnormalized direction).
+        from ..core.transform import quat_conj, quat_rotate, trs_at
+
+        f_ = jnp.zeros((r,), jnp.float32) if f is None else f
+        ic = jnp.maximum(inst, 0)
+        T, R, S = trs_at(
+            instances.t0_T[ic], instances.t0_R[ic], instances.t0_S[ic],
+            instances.t1_T[ic], instances.t1_R[ic], instances.t1_S[ic], f_,
+        )
+        o_l = quat_rotate(quat_conj(R), o - T) / S
+        d_l = quat_rotate(quat_conj(R), d) / S
+        on_inst = (inst >= 0)[:, None]
+        o_mt = jnp.where(on_inst, o_l, o)
+        d_mt = jnp.where(on_inst, d_l, d)
+    t_mt, b1, b2, _ = moller_trumbore(o_mt, d_mt, p0, p1, p2, 0.0, jnp.inf)
     b1 = jnp.clip(b1, 0.0, 1.0)
     b2 = jnp.clip(b2, 0.0, 1.0)
     t_final = jnp.where(mask, t_mt, jnp.inf)
     return Hit(t=t_final, tri=jnp.where(mask, tri, -1), b0=1.0 - b1 - b2,
-               b1=b1, mask=mask)
+               b1=b1, mask=mask,
+               inst=jnp.where(mask, inst, -1) if instances is not None
+               else None)

@@ -80,6 +80,16 @@ def scene_intersect(scene: FlatScene, o: Array, d: Array,
     ):
         from ..accel.pallas_intersect import intersect_pallas
 
+        if scene.instances is not None:
+            # The instanced kernel covers static + instanced geometry in
+            # one traversal (entries carry (chunk, instance) pairs and the
+            # ray block is transformed in-kernel at each lane's shutter
+            # fraction) — no XLA two-level while_loop on the TPU path.
+            f_ = jnp.zeros(o.shape[:1], jnp.float32) if f is None else f
+            return intersect_pallas(
+                geom, scene.pallas_tris, o, d, tmin, tmax, active=active,
+                f=f_, instances=scene.instances,
+            )
         hit = intersect_pallas(geom, scene.pallas_tris, o, d, tmin, tmax,
                                active=active)
     elif scene.plucker is not None:
@@ -235,17 +245,14 @@ def scene_occluded(scene: FlatScene, o: Array, d: Array, tmin, tmax,
     ):
         from ..accel.pallas_intersect import anyhit_pallas
 
-        occ = anyhit_pallas(scene.geometry, scene.pallas_tris, o, d, tmin,
-                            tmax, active=active)
+        f_ = (jnp.zeros(o.shape[:1], jnp.float32) if f is None else f) \
+            if scene.instances is not None else None
+        # The instanced kernel's entries cover the BLAS tail, so one
+        # any-hit call answers the whole two-level query.
+        return anyhit_pallas(scene.geometry, scene.pallas_tris, o, d, tmin,
+                             tmax, active=active, f=f_)
     if occ is None:
         return scene_intersect(scene, o, d, tmin, tmax, f).mask
-    if scene.instances is not None:
-        from ..accel.twolevel import intersect_instances
-
-        f_ = jnp.zeros(o.shape[:1], jnp.float32) if f is None else f
-        occ = occ | intersect_instances(
-            scene.geometry, scene.instances, o, d, f_, tmin, tmax
-        ).mask
     return occ
 
 

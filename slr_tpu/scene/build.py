@@ -783,11 +783,22 @@ class SceneBuilder:
 
         plucker = build_plucker(geom_static)
 
-        from ..accel.pallas_intersect import build_pallas_tris
+        from ..accel.pallas_intersect import (
+            build_pallas_tris,
+            extend_pallas_instanced,
+        )
 
         # The kernel chunk tables are cut from the SBVH when available —
         # spatially tight treelet chunks traversed front-to-back.
         pallas_tris = build_pallas_tris(geom_static, bvh=bvh)
+        if instances is not None:
+            # One kernel covers the whole two-level scene: instanced BLAS
+            # chunks become (chunk, instance) worklist entries with the ray
+            # block transformed in-kernel (accel/pallas_intersect.py).
+            pallas_tris = extend_pallas_instanced(
+                pallas_tris, positions, tri_vidx, blas_ranges,
+                self.instance_rows,
+            )
 
         from .types import NormalTextures
 

@@ -182,3 +182,99 @@ def env_sphere_scene(
     return b.build(use_bvh=use_bvh)
 
 
+
+
+def _grass_blade(n_seg: int = 5, height: float = 0.35, width: float = 0.02):
+    """A tapered, slightly curved grass blade as a triangle strip
+    (2 tris/segment x both-sided shading via the matte BSDF)."""
+    pos, nrm, tan, uv, tris = [], [], [], [], []
+    for s in range(n_seg + 1):
+        h = s / n_seg
+        w = width * (1.0 - 0.85 * h)
+        bend = 0.12 * h * h
+        y = height * h
+        for x in (-w, w):
+            pos.append((x, y, bend))
+            nrm.append((0.0, 0.0, 1.0))
+            tan.append((1.0, 0.0, 0.0))
+            uv.append((0.5 + x / width * 0.5, h))
+    for s in range(n_seg):
+        a = 2 * s
+        tris.append((a, a + 1, a + 2))
+        tris.append((a + 1, a + 3, a + 2))
+    return (np.asarray(pos, np.float32), np.asarray(nrm, np.float32),
+            np.asarray(tan, np.float32), np.asarray(uv, np.float32),
+            np.asarray(tris, np.int32))
+
+
+def grass_field(
+    n_side: int = 64,
+    blade_segments: int = 5,
+    seed: int = 7,
+    animated_fraction: float = 0.0,
+) -> FlatScene:
+    """RTC3-class instanced scene: a field of grass blades instanced over a
+    ground plane under an area 'sun' — the structure of the reference's
+    RTC3.txt (createReferenceNode + scanXZFromYPlus placements,
+    TestScenes/RTC3.txt:1-45, nodes.cpp:174-184). n_side^2 instances of one
+    blade BLAS; with blade_segments=5 and n_side=64 that is 4096 instances
+    x 10 tris = 40960 effective triangles beyond the static geometry
+    (raise n_side for >100k). `animated_fraction` gives that share of
+    blades a small sway between the shutter endpoints (motion blur)."""
+    rs = np.random.RandomState(seed)
+    b = SceneBuilder()
+    ground = b.add_matte(b.add_stex_const((0.25, 0.35, 0.12)))
+    blade_mat = b.add_matte(b.add_stex_const((0.2, 0.55, 0.1)))
+    half = n_side * 0.05
+    g = np.float32([[-half, 0, -half], [half, 0, -half],
+                    [half, 0, half], [-half, 0, half]])
+    nrm = np.tile(np.float32([0, 1, 0]), (4, 1))
+    tan = np.tile(np.float32([1, 0, 0]), (4, 1))
+    b.add_mesh(g, nrm, tan, np.zeros((4, 2), np.float32),
+               np.array([[0, 1, 2], [0, 2, 3]], np.int32), ground)
+    # sun: a bright quad high above
+    em = b.add_stex_const((40.0, 38.0, 30.0))
+    sun = b.add_emitter(b.add_matte(b.add_stex_const((0.5,) * 3)), em)
+    s = np.float32([[-2, 8, -2], [2, 8, -2], [2, 8, 2], [-2, 8, 2]])
+    b.add_mesh(s, np.tile(np.float32([0, -1, 0]), (4, 1)), tan,
+               np.zeros((4, 2), np.float32),
+               np.array([[0, 2, 1], [0, 3, 2]], np.int32), sun)
+
+    bp, bn, bt, bu, btris = _grass_blade(blade_segments)
+    bid = b.begin_blas()
+    b.add_mesh(bp, bn, bt, bu, btris, blade_mat)
+    b.end_blas()
+    step = 2.0 * half / n_side
+    for i in range(n_side):
+        for j in range(n_side):
+            x = -half + (i + 0.5 + rs.uniform(-0.3, 0.3)) * step
+            z = -half + (j + 0.5 + rs.uniform(-0.3, 0.3)) * step
+            ang = rs.uniform(0, 2 * np.pi)
+            ca, sa = np.cos(ang), np.sin(ang)
+            m = np.float32([
+                [ca, 0, sa, x],
+                [0, 1, 0, 0],
+                [-sa, 0, ca, z],
+                [0, 0, 0, 1],
+            ])
+            if rs.uniform() < animated_fraction:
+                sway = rs.uniform(-0.15, 0.15)
+                ca2, sa2 = np.cos(sway), np.sin(sway)
+                rz = np.float32([
+                    [ca2, -sa2, 0, 0], [sa2, ca2, 0, 0],
+                    [0, 0, 1, 0], [0, 0, 0, 1],
+                ])
+                b.add_instance(bid, m, (m @ rz).astype(np.float32))
+            else:
+                b.add_instance(bid, m)
+    # Camera convention: +z is forward in camera space and the Cornell
+    # preset's rotate_y(pi) makes it look toward -z world; same here, plus
+    # a slight downward tilt onto the field.
+    cam = (
+        np.asarray(m3.mat_translate(
+            np.array([0.0, 0.55 * half + 0.3, 1.35 * half + 0.6])))
+        @ np.asarray(m3.mat_rotate_y(np.pi))
+        @ np.asarray(m3.mat_rotate_x(0.35))
+    ).astype(np.float32)
+    b.set_camera_perspective(cam, 4.0 / 3.0, 0.9)
+    return b.build(use_bvh=False)

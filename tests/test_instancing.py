@@ -189,3 +189,18 @@ def test_emissive_instance_tail_raises():
     b.set_camera_perspective(np.eye(4, dtype=np.float32), 1.0, 0.5)
     with pytest.raises(ValueError, match="emissive"):
         b.build(use_bvh=False)
+
+
+def test_grass_field_preset_renders():
+    """RTC3-class preset (reference TestScenes/RTC3.txt structure:
+    scanXZFromYPlus instance grid over a ground plane): builds, carries the
+    instanced Pallas entries, and renders non-black on the CPU path."""
+    from slr_tpu.scene.presets import grass_field
+    from slr_tpu.render.pt import render
+
+    scene = grass_field(n_side=8, animated_fraction=0.25)
+    assert scene.instances is not None and scene.instances.num == 64
+    assert scene.pallas_tris.n_entries == 1 + 64  # static chunk + per-inst
+    img = np.asarray(render(scene, 32, 24, spp=2, max_depth=4, seed=1))
+    assert np.isfinite(img).all()
+    assert (img.sum(axis=-1) > 0).mean() > 0.1
