@@ -217,3 +217,85 @@ class TestPixelGradients:
         fd = (f(jnp.float32(0.2 + eps)) - f(jnp.float32(0.2 - eps))) / (2 * eps)
         np.testing.assert_allclose(float(g), float(fd), rtol=0.08)
         assert float(g) > 0
+
+
+class TestExtendedGradients:
+    """Round-2 VERDICT item 2 extension: gradients through an IMAGE texture
+    and through tabulated spectral reflectance curves (the Cornell_Box_
+    ColorChecker material parameterization), each against finite
+    differences."""
+
+    def test_image_texture_gradient(self):
+        """d(mean radiance)/d(image texels) through bilinear IMAGE sampling
+        vs FD on a global image scale."""
+        from slr_tpu.scene.build import SceneBuilder
+
+        b = SceneBuilder()
+        img = np.full((8, 8, 4), 0.5, np.float32)
+        tex = b.add_stex_image(b.add_image(img))
+        mat = b.add_matte(tex)
+        pos = np.array([[-2, -2, 0], [2, -2, 0], [2, 2, 0], [-2, 2, 0]],
+                       np.float32)
+        nrm = np.tile(np.float32([0, 0, 1]), (4, 1))
+        tan = np.tile(np.float32([1, 0, 0]), (4, 1))
+        uv = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+        b.add_mesh(pos, nrm, tan, uv,
+                   np.array([[0, 1, 2], [0, 2, 3]], np.int32), mat)
+        em = b.add_stex_const((5.0, 5.0, 5.0))
+        epos = pos * 0.5 + np.float32([0, 0, 3])
+        b.add_mesh(epos, -nrm, tan, uv,
+                   np.array([[0, 2, 1], [0, 3, 2]], np.int32),
+                   b.add_emitter(
+                       b.add_matte(b.add_stex_const((0.5, 0.5, 0.5))), em))
+        b.set_camera_perspective(np.eye(4, dtype=np.float32), 1.0, 0.5)
+        scene = b.build(use_bvh=False)
+
+        # Depth 2 keeps RR inactive on these short paths: the detached
+        # estimator has no boundary terms for RR-decision flips, so deeper
+        # FD comparisons need far more samples.
+        def f(scale):
+            st = scene.stex
+            sc = scene.replace(stex=st.replace(images=st.images * scale))
+            n = 256
+            rs = np.random.RandomState(5)
+            o = jnp.asarray(np.array([[0.0, 0.0, 1.5]] * n), jnp.float32)
+            d = jnp.asarray(rs.randn(n, 3) - [0, 0, 1], jnp.float32)
+            d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+            c = trace_radiance(
+                sc, o, d, jnp.arange(n, dtype=jnp.uint32),
+                jnp.zeros((n,), jnp.uint32), 0, max_depth=2,
+            )
+            return jnp.mean(c)
+
+        g = jax.grad(f)(jnp.float32(1.0))
+        eps = 1e-2
+        fd = (f(jnp.float32(1 + eps)) - f(jnp.float32(1 - eps))) / (2 * eps)
+        np.testing.assert_allclose(float(g), float(fd), rtol=0.08)
+        assert float(g) > 0
+
+    def test_spectral_curve_gradient(self):
+        """Spectral-mode gradient through a tabulated reflectance CURVE
+        (the ColorChecker patches are CURVE textures after build
+        pre-tabulation) vs FD on a curve scale."""
+        scene = cornell_box_spheres(sphere_res=6, use_bvh=False, metal=False,
+                                    glass=False, spectral=True)
+
+        def f(s):
+            st = scene.stex
+            sc = scene.replace(stex=st.replace(curves_v=st.curves_v * s))
+            rs = np.random.RandomState(6)
+            n = 64
+            o = jnp.asarray(np.array([[0.0, 1.2, 1.0]] * n), jnp.float32)
+            d = jnp.asarray(rs.randn(n, 3), jnp.float32)
+            d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+            c = trace_radiance(
+                sc, o, d, jnp.arange(n, dtype=jnp.uint32),
+                jnp.zeros((n,), jnp.uint32), 0, max_depth=3,
+            )
+            return jnp.mean(c)
+
+        g = jax.grad(f)(jnp.float32(1.0))
+        eps = 5e-3
+        fd = (f(jnp.float32(1 + eps)) - f(jnp.float32(1 - eps))) / (2 * eps)
+        np.testing.assert_allclose(float(g), float(fd), rtol=0.1)
+        assert np.isfinite(float(g)) and float(g) != 0.0
