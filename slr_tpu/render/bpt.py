@@ -118,6 +118,43 @@ def _gn_sn(v: Vertices, i: int) -> Array:
     )
 
 
+def _sorted_cast(scene, o, d, active, lambdas_unused=None):
+    """Closest-hit with a coherence sort applied ONLY around the kernel:
+    rays are permuted by (active, octant, origin Morton) so terminated
+    lanes pack into skippable blocks and worklists shorten, then the Hit is
+    un-permuted — the path state itself stays in lane order (subpath
+    vertex tables must keep lane identity across steps)."""
+    from ..core.permute import permute_rows
+    from .pt import _ray_sort_key, scene_intersect_alpha
+
+    key = _ray_sort_key(scene, o, d, active)
+    order = jnp.argsort(key)
+    o_s, d_s, act_s = permute_rows((o, d, active), order)
+    hit = scene_intersect_alpha(scene, o_s, d_s, active=act_s)
+    inv = jnp.zeros_like(order).at[order].set(
+        jnp.arange(order.shape[0], dtype=order.dtype))
+    fields = (hit.t, hit.tri, hit.b0, hit.b1, hit.mask)
+    t, tri, b0, b1, mask = permute_rows(fields, inv)
+    return type(hit)(t=t, tri=tri, b0=b0, b1=b1, mask=mask,
+                     inst=None if hit.inst is None
+                     else permute_rows((hit.inst,), inv)[0])
+
+
+def _sorted_occluded(scene, o, d, tmax, active):
+    """Occlusion query with the same sort-around-the-kernel treatment."""
+    from ..accel.intersect import RAY_EPSILON
+    from ..core.permute import permute_rows
+    from .pt import _ray_sort_key, scene_occluded
+
+    key = _ray_sort_key(scene, o, d, active)
+    order = jnp.argsort(key)
+    o_s, d_s, tmax_s, act_s = permute_rows((o, d, tmax, active), order)
+    occ = scene_occluded(scene, o_s, d_s, RAY_EPSILON, tmax_s, active=act_s)
+    inv = jnp.zeros_like(order).at[order].set(
+        jnp.arange(order.shape[0], dtype=order.dtype))
+    return permute_rows((occ,), inv)[0]
+
+
 def _generate_subpath(
     scene: FlatScene,
     o: Array,
@@ -158,7 +195,7 @@ def _generate_subpath(
 
     for i in range(max_verts):
         bounce_id = jnp.uint32(bounce_offset + i)
-        hit = scene_intersect_alpha(scene, ray_o, ray_d, active=active)
+        hit = _sorted_cast(scene, ray_o, ray_d, active)
         sp = resolve_sp(scene, hit, ray_o, ray_d)
         ok = active & hit.mask
         # Escaped active eye rays become implicit env-sphere vertices
@@ -695,14 +732,32 @@ def bpt_batch(
     # ------------------------------------------------------------------
     # Connections s >= 1, t >= 1 (cpp:165-254).
     # ------------------------------------------------------------------
+    from ..accel.intersect import RAY_EPSILON
+    from .pt import scene_occluded
+
     n_l = 1 + len(l_steps)
     n_e = 1 + len(e_steps)
     for t in range(1, n_e + 1):
-        for s in range(1, n_l + 1):
-            film = _connect(
+        # Batch all s-strategies' visibility rays of this t into ONE
+        # any-hit cast (the per-(s,t) casts dominated the device profile:
+        # 64 kernel launches with mostly-idle blocks).
+        recs = [
+            _connect(
                 scene, film, lv, ev, s, t, hero, lambdas, spectral, s_dim,
                 pid_c, width, height, cam, select_wl_pdf, film_add,
             )
+            for s in range(1, n_l + 1)
+        ]
+        o_b = jnp.concatenate([rec[0][0] for rec in recs], axis=0)
+        d_b = jnp.concatenate([rec[0][1] for rec in recs], axis=0)
+        tmax_b = jnp.concatenate([rec[0][2] for rec in recs], axis=0)
+        act_b = jnp.concatenate([rec[0][3] for rec in recs], axis=0)
+        vis = jnp.logical_not(
+            _sorted_occluded(scene, o_b, d_b, tmax_b, act_b)
+        ).reshape(n_l, r)
+        for k, (_, contribution, valid, splat_pix, own) in enumerate(recs):
+            film = film_add(film, splat_pix, contribution,
+                            valid & vis[k], own=own)
     return film_flush(film)
 
 
@@ -845,19 +900,16 @@ def _connect(scene, film, lv, ev, s, t, hero, lambdas, spectral, s_dim,
         wl_prob_inv = jnp.where(collapsed, float(s_dim), 1.0)
     connection = l_ddf * (g * wl_prob_inv)[:, None] * e_ddf
     nonzero = jnp.any(connection != 0.0, axis=-1)
-    # Visibility (Scene::testVisibility, SurfaceObject.cpp:417-429): env
-    # endpoints shoot an open ray that only needs to clear the world sphere.
-    from ..accel.intersect import RAY_EPSILON
-    from .pt import scene_occluded
-
+    # Visibility (Scene::testVisibility, SurfaceObject.cpp:417-429) is NOT
+    # cast here: the shadow query is returned to bpt_batch, which batches
+    # all s-strategies of a t into ONE any-hit kernel call (64 separate
+    # 49k-ray casts dominated the BPT device profile). Env endpoints shoot
+    # an open ray that only needs to clear the world sphere.
     shadow_tmax = jnp.where(
         at_l, 4.0 * scene.world_radius, jnp.sqrt(raw2) * (1.0 - 1e-3)
     )
-    vis = jnp.logical_not(scene_occluded(
-        scene, ev.p[:, ei], conn_dir, RAY_EPSILON, shadow_tmax,
-        active=valid & nonzero,
-    ))
-    valid = valid & nonzero & vis
+    shadow_q = (ev.p[:, ei], conn_dir, shadow_tmax, valid & nonzero)
+    valid = valid & nonzero
 
     # 1st/2nd extension pdfs (cpp:207-232)
     l_ext1_area = l_ext1_dir_pdf * cos_eye / dist2
@@ -939,7 +991,7 @@ def _connect(scene, film, lv, ev, s, t, hero, lambdas, spectral, s_dim,
     contribution = (
         lv.alpha[:, li] * connection * ev.alpha[:, ei] * w[:, None]
     )
-    return film_add(film, splat_pix, contribution, valid, own=(t != 1))
+    return shadow_q, contribution, valid, splat_pix, (t != 1)
 
 
 def render_bpt(
