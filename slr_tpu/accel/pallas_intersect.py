@@ -60,6 +60,9 @@ RB = 256           # default rays per program instance (tunable per call)
 DEFAULT_CHUNK = 128
 ROWS = 16          # packed ray rows (sublane-aligned)
 T_FAR = 3e38       # finite stand-in for +inf (inf breaks slab arithmetic)
+# Worklists up to this many int32s ride the scalar prefetch into SMEM
+# (~512 KB); larger tables go to HBM with a per-block DMA.
+SMALL_WL_INTS = 128 * 1024
 
 
 # ---------------------------------------------------------------------------
@@ -657,10 +660,9 @@ def _xform_rays(rays16, itrs_ref, i, rbuf, rb):
     rbuf[10:16, :] = jnp.zeros((6, rb), jnp.float32)
 
 
-def _kernel(cnt_ref, boxes_ref, echunk_ref, einst_ref, itrs_ref,
-            rays_ref, wl_hbm, tris_hbm, t_ref, idx_ref, inst_ref, buf, rbuf,
-            wl_ref, sem, wl_sem, *, chunk: int, rb: int, ncap: int):
-    i = pl.program_id(0)
+def _traverse_closest(i, wl_at, cnt_ref, boxes_ref, echunk_ref, einst_ref,
+                      itrs_ref, rays_ref, tris_hbm, t_ref, idx_ref, inst_ref,
+                      buf, rbuf, sem, chunk, rb):
     rays16 = rays_ref[0]          # (16, RB)
     tmin = rays16[10, :]
     tmax = rays16[11, :]
@@ -668,14 +670,6 @@ def _kernel(cnt_ref, boxes_ref, echunk_ref, einst_ref, itrs_ref,
     idx_ref[0, 0, :] = jnp.full((rb,), -1, jnp.int32)
     inst_ref[0, 0, :] = jnp.full((rb,), -1, jnp.int32)
     n = cnt_ref[i]
-    # The (NB, NE) worklist lives in HBM (it exceeds SMEM at instanced
-    # entry counts); each block DMAs its row into SMEM scratch.
-    wl_cp = pltpu.make_async_copy(wl_hbm.at[i], wl_ref, wl_sem)
-    wl_cp.start()
-    wl_cp.wait()
-
-    def wl_at(k):
-        return wl_ref[k // 128, jax.lax.rem(k, 128)]
 
     def dma(slot, k):
         c = echunk_ref[wl_at(k)]
@@ -699,17 +693,17 @@ def _kernel(cnt_ref, boxes_ref, echunk_ref, einst_ref, itrs_ref,
 
             @pl.when(_block_hits_box(rays16, boxes_ref, e, t_ref[0, 0, :]))
             def _chunk():
-                @pl.when(inst < 0)
-                def _copy():
-                    rbuf[:, :] = rays16
-
                 @pl.when(inst >= 0)
                 def _xform():
                     _xform_rays(rays16, itrs_ref, jnp.maximum(inst, 0),
                                 rbuf, rb)
 
                 tris16 = buf[pl.ds(slot, 1)][0]
-                through, den, num = _contract(rbuf[:, :], tris16, chunk)
+                # Scalar-predicated select instead of copying rays16 into
+                # rbuf for static entries (a 16xRB copy per chunk): where()
+                # SELECTS, so stale/NaN scratch on the static side is inert.
+                rays_in = jnp.where(inst >= 0, rbuf[:, :], rays16)
+                through, den, num = _contract(rays_in, tris16, chunk)
                 denom_ok = jnp.abs(den) > 1e-12
                 t = num / jnp.where(denom_ok, den, 1.0)
 
@@ -736,26 +730,54 @@ def _kernel(cnt_ref, boxes_ref, echunk_ref, einst_ref, itrs_ref,
         jax.lax.fori_loop(0, n, body, 0)
 
 
-def _kernel_any(cnt_ref, boxes_ref, echunk_ref, einst_ref, itrs_ref,
-                rays_ref, wl_hbm, tris_hbm, hit_ref, buf, rbuf, wl_ref, sem,
-                wl_sem, *, chunk: int, rb: int, ncap: int):
-    """Any-hit (shadow) variant: no argmin, no division. A triangle occludes
-    iff t = num/den lies in [tmin, tmax], tested as sign conditions on
-    (num - tmin*den)·(num - tmax*den) — fmas instead of a divide. Once every
-    live ray is occluded the remaining worklist is skipped."""
+def _kernel(cnt_ref, boxes_ref, echunk_ref, einst_ref, itrs_ref,
+            rays_ref, wl_hbm, tris_hbm, t_ref, idx_ref, inst_ref, buf, rbuf,
+            wl_ref, sem, wl_sem, *, chunk: int, rb: int, ncap: int):
     i = pl.program_id(0)
-    rays16 = rays_ref[0]
-    tmin = rays16[10, :]
-    tmax = rays16[11, :]
-    live = tmax >= tmin                        # lanes with a real query
-    hit_ref[0, 0, :] = jnp.zeros((rb,), jnp.int32)
-    n = cnt_ref[i]
+    # The (NB, NE) worklist lives in HBM (it exceeds SMEM at instanced
+    # entry counts); each block DMAs its row into SMEM scratch.
     wl_cp = pltpu.make_async_copy(wl_hbm.at[i], wl_ref, wl_sem)
     wl_cp.start()
     wl_cp.wait()
 
     def wl_at(k):
         return wl_ref[k // 128, jax.lax.rem(k, 128)]
+
+    _traverse_closest(i, wl_at, cnt_ref, boxes_ref, echunk_ref, einst_ref,
+                      itrs_ref, rays_ref, tris_hbm, t_ref, idx_ref, inst_ref,
+                      buf, rbuf, sem, chunk, rb)
+
+
+def _kernel_smallwl(wl_ref, cnt_ref, boxes_ref, echunk_ref, einst_ref,
+                    itrs_ref, rays_ref, tris_hbm, t_ref, idx_ref, inst_ref,
+                    buf, rbuf, sem, *, chunk: int, rb: int, ncap: int):
+    """Small-table variant: the whole (NB * NE) worklist rides the scalar
+    prefetch into SMEM — no per-block DMA stall (the hot path for typical
+    static scenes, where NE is tens of entries)."""
+    i = pl.program_id(0)
+    base = i * ncap
+
+    def wl_at(k):
+        return wl_ref[base + k]
+
+    _traverse_closest(i, wl_at, cnt_ref, boxes_ref, echunk_ref, einst_ref,
+                      itrs_ref, rays_ref, tris_hbm, t_ref, idx_ref, inst_ref,
+                      buf, rbuf, sem, chunk, rb)
+
+
+def _traverse_any(i, wl_at, cnt_ref, boxes_ref, echunk_ref, einst_ref,
+                  itrs_ref, rays_ref, tris_hbm, hit_ref, buf, rbuf, sem,
+                  chunk, rb):
+    """Any-hit traversal: no argmin, no division. A triangle occludes iff
+    t = num/den lies in [tmin, tmax], tested as sign conditions on
+    (num - tmin*den)*(num - tmax*den) — fmas instead of a divide. Once
+    every live ray is occluded the remaining worklist is skipped."""
+    rays16 = rays_ref[0]
+    tmin = rays16[10, :]
+    tmax = rays16[11, :]
+    live = tmax >= tmin                        # lanes with a real query
+    hit_ref[0, 0, :] = jnp.zeros((rb,), jnp.int32)
+    n = cnt_ref[i]
 
     def dma(slot, k):
         c = echunk_ref[wl_at(k)]
@@ -781,17 +803,14 @@ def _kernel_any(cnt_ref, boxes_ref, echunk_ref, einst_ref, itrs_ref,
             @pl.when(_block_hits_box(rays16, boxes_ref, e, tmax,
                                      enable=open_ray))
             def _chunk():
-                @pl.when(inst < 0)
-                def _copy():
-                    rbuf[:, :] = rays16
-
                 @pl.when(inst >= 0)
                 def _xform():
                     _xform_rays(rays16, itrs_ref, jnp.maximum(inst, 0),
                                 rbuf, rb)
 
                 tris16 = buf[pl.ds(slot, 1)][0]
-                through, den, num = _contract(rbuf[:, :], tris16, chunk)
+                rays_in = jnp.where(inst >= 0, rbuf[:, :], rays16)
+                through, den, num = _contract(rays_in, tris16, chunk)
                 lo = num - tmin[:, None] * den       # den * (t - tmin)
                 hi = num - tmax[:, None] * den
                 in_range = (lo * hi <= 0) & (jnp.abs(den) > 1e-12)
@@ -809,11 +828,77 @@ def _kernel_any(cnt_ref, boxes_ref, echunk_ref, einst_ref, itrs_ref,
         jax.lax.fori_loop(0, n, body, 0)
 
 
+def _kernel_any(cnt_ref, boxes_ref, echunk_ref, einst_ref, itrs_ref,
+                rays_ref, wl_hbm, tris_hbm, hit_ref, buf, rbuf, wl_ref, sem,
+                wl_sem, *, chunk: int, rb: int, ncap: int):
+    i = pl.program_id(0)
+    wl_cp = pltpu.make_async_copy(wl_hbm.at[i], wl_ref, wl_sem)
+    wl_cp.start()
+    wl_cp.wait()
+
+    def wl_at(k):
+        return wl_ref[k // 128, jax.lax.rem(k, 128)]
+
+    _traverse_any(i, wl_at, cnt_ref, boxes_ref, echunk_ref, einst_ref,
+                  itrs_ref, rays_ref, tris_hbm, hit_ref, buf, rbuf, sem,
+                  chunk, rb)
+
+
+def _kernel_any_smallwl(wl_ref, cnt_ref, boxes_ref, echunk_ref, einst_ref,
+                        itrs_ref, rays_ref, tris_hbm, hit_ref, buf, rbuf,
+                        sem, *, chunk: int, rb: int, ncap: int):
+    i = pl.program_id(0)
+    base = i * ncap
+
+    def wl_at(k):
+        return wl_ref[base + k]
+
+    _traverse_any(i, wl_at, cnt_ref, boxes_ref, echunk_ref, einst_ref,
+                  itrs_ref, rays_ref, tris_hbm, hit_ref, buf, rbuf, sem,
+                  chunk, rb)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("chunk", "n_entries", "rb", "interpret"))
 def _run_kernel(wl, cnt, boxes, echunk, einst, itrs, rays, tris, chunk,
                 n_entries, rb=RB, interpret=False):
     nb = rays.shape[0]
+    out_shape = [
+        jax.ShapeDtypeStruct((nb, 1, rb), jnp.float32),
+        jax.ShapeDtypeStruct((nb, 1, rb), jnp.int32),
+        jax.ShapeDtypeStruct((nb, 1, rb), jnp.int32),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, 1, rb), lambda i, *_: (i, 0, 0)),
+        pl.BlockSpec((1, 1, rb), lambda i, *_: (i, 0, 0)),
+        pl.BlockSpec((1, 1, rb), lambda i, *_: (i, 0, 0)),
+    ]
+    if nb * n_entries <= SMALL_WL_INTS:
+        # Hot path for typical static scenes: the whole worklist rides the
+        # scalar prefetch into SMEM, no per-block DMA stall.
+        kernel = functools.partial(_kernel_smallwl, chunk=chunk, rb=rb,
+                                   ncap=n_entries)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=6,
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec((1, ROWS, rb), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=out_specs,
+            scratch_shapes=[
+                pltpu.VMEM((2, ROWS, 5 * chunk), jnp.float32),
+                pltpu.VMEM((ROWS, rb), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(wl, cnt, boxes.reshape(-1), echunk, einst, itrs.reshape(-1),
+          rays, tris)
     # Pad the worklist row to a full (8, 128) tile multiple: the per-block
     # slice wl[i] must be tile-aligned in BOTH trailing dims or the DMA
     # reads garbage (observed as TPU worker faults at 3+ sublane rows).
@@ -836,11 +921,7 @@ def _run_kernel(wl, cnt, boxes, echunk, einst, itrs, rays, tris, chunk,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=[
-            pl.BlockSpec((1, 1, rb), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((1, 1, rb), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((1, 1, rb), lambda i, *_: (i, 0, 0)),
-        ],
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((2, ROWS, 5 * chunk), jnp.float32),
             pltpu.VMEM((ROWS, rb), jnp.float32),
@@ -852,11 +933,7 @@ def _run_kernel(wl, cnt, boxes, echunk, einst, itrs, rays, tris, chunk,
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((nb, 1, rb), jnp.float32),
-            jax.ShapeDtypeStruct((nb, 1, rb), jnp.int32),
-            jax.ShapeDtypeStruct((nb, 1, rb), jnp.int32),
-        ],
+        out_shape=out_shape,
         interpret=interpret,
     )(cnt, boxes.reshape(-1), echunk, einst,
       itrs.reshape(-1), rays, wl2, tris)
@@ -867,6 +944,30 @@ def _run_kernel(wl, cnt, boxes, echunk, einst, itrs, rays, tris, chunk,
 def _run_kernel_any(wl, cnt, boxes, echunk, einst, itrs, rays, tris, chunk,
                     n_entries, rb=RB, interpret=False):
     nb = rays.shape[0]
+    if nb * n_entries <= SMALL_WL_INTS:
+        kernel = functools.partial(_kernel_any_smallwl, chunk=chunk, rb=rb,
+                                   ncap=n_entries)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=6,
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec((1, ROWS, rb), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=[pl.BlockSpec((1, 1, rb), lambda i, *_: (i, 0, 0))],
+            scratch_shapes=[
+                pltpu.VMEM((2, ROWS, 5 * chunk), jnp.float32),
+                pltpu.VMEM((ROWS, rb), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[jax.ShapeDtypeStruct((nb, 1, rb), jnp.int32)],
+            interpret=interpret,
+        )(wl, cnt, boxes.reshape(-1), echunk, einst, itrs.reshape(-1),
+          rays, tris)
     ne_pad = -(-n_entries // 1024) * 1024
     wl2 = wl.reshape(nb, n_entries)
     if ne_pad != n_entries:
