@@ -13,6 +13,39 @@ import jax
 import jax.numpy as jnp
 
 
+def unpermute_rows(tree, order):
+    """Inverse of permute_rows(tree, order) WITHOUT materializing the
+    inverse permutation: one packed row scatter (out[order[i]] = in[i])."""
+    leaves, treedef = jax.tree.flatten(tree)
+    r = order.shape[0]
+    cols = []
+    specs = []
+    for x in leaves:
+        assert x.shape[0] == r, (x.shape, r)
+        flat = x.reshape(r, -1)
+        if flat.dtype == jnp.bool_:
+            f = flat.astype(jnp.float32)
+        elif flat.dtype == jnp.float32:
+            f = flat
+        else:
+            f = jax.lax.bitcast_convert_type(flat, jnp.float32)
+        cols.append(f)
+        specs.append((x.dtype, x.shape, flat.shape[1]))
+    packed = jnp.concatenate(cols, axis=1)
+    packed = jnp.zeros_like(packed).at[order].set(packed)
+    out = []
+    off = 0
+    for dtype, shape, k in specs:
+        sl = packed[:, off:off + k]
+        off += k
+        if dtype == jnp.bool_:
+            sl = sl != 0.0
+        elif dtype != jnp.float32:
+            sl = jax.lax.bitcast_convert_type(sl, dtype)
+        out.append(sl.reshape(shape))
+    return jax.tree.unflatten(treedef, out)
+
+
 def permute_rows(tree, order):
     """Return `tree` with every leaf's leading axis permuted by `order`.
 

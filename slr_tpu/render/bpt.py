@@ -124,35 +124,32 @@ def _sorted_cast(scene, o, d, active, lambdas_unused=None):
     lanes pack into skippable blocks and worklists shorten, then the Hit is
     un-permuted — the path state itself stays in lane order (subpath
     vertex tables must keep lane identity across steps)."""
-    from ..core.permute import permute_rows
+    from ..core.permute import permute_rows, unpermute_rows
     from .pt import _ray_sort_key, scene_intersect_alpha
 
     key = _ray_sort_key(scene, o, d, active)
     order = jnp.argsort(key)
     o_s, d_s, act_s = permute_rows((o, d, active), order)
     hit = scene_intersect_alpha(scene, o_s, d_s, active=act_s)
-    inv = jnp.zeros_like(order).at[order].set(
-        jnp.arange(order.shape[0], dtype=order.dtype))
-    fields = (hit.t, hit.tri, hit.b0, hit.b1, hit.mask)
-    t, tri, b0, b1, mask = permute_rows(fields, inv)
-    return type(hit)(t=t, tri=tri, b0=b0, b1=b1, mask=mask,
-                     inst=None if hit.inst is None
-                     else permute_rows((hit.inst,), inv)[0])
+    fields = (hit.t, hit.tri, hit.b0, hit.b1, hit.mask) + (
+        () if hit.inst is None else (hit.inst,))
+    out = unpermute_rows(fields, order)
+    return type(hit)(t=out[0], tri=out[1], b0=out[2], b1=out[3],
+                     mask=out[4],
+                     inst=None if hit.inst is None else out[5])
 
 
 def _sorted_occluded(scene, o, d, tmax, active):
     """Occlusion query with the same sort-around-the-kernel treatment."""
     from ..accel.intersect import RAY_EPSILON
-    from ..core.permute import permute_rows
+    from ..core.permute import permute_rows, unpermute_rows
     from .pt import _ray_sort_key, scene_occluded
 
     key = _ray_sort_key(scene, o, d, active)
     order = jnp.argsort(key)
     o_s, d_s, tmax_s, act_s = permute_rows((o, d, tmax, active), order)
     occ = scene_occluded(scene, o_s, d_s, RAY_EPSILON, tmax_s, active=act_s)
-    inv = jnp.zeros_like(order).at[order].set(
-        jnp.arange(order.shape[0], dtype=order.dtype))
-    return permute_rows((occ,), inv)[0]
+    return unpermute_rows((occ,), order)[0]
 
 
 def _generate_subpath(
