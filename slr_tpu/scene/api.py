@@ -796,32 +796,121 @@ def _load_model(ctx: ApiContext, path: str, mat_proc) -> Node:
         node.add_child(mesh)
         return node
     # Missing / binary-assimp assets (the reference repo does not bundle its
-    # models, README.md:71-72): substitute a unit-cube placeholder so the
-    # scene still loads, instances, and renders structurally.
+    # models, README.md:71-72): substitute a shape-appropriate placeholder so
+    # the scene still loads, instances, and renders a meaningful image:
+    #  - Cornell_box_* -> inward-facing [-1,1]^3 Cornell shell (white
+    #    floor/ceiling/back, red left, green right) — the scenes position
+    #    their DSL-defined area light and props inside those bounds;
+    #  - *plain* (RTC3 terrain) -> large ground plane at y=0 (the
+    #    scanXZFromYPlus grid raycasts down onto it);
+    #  - otherwise -> [-1,1]^3 cube (the transforms in Cornell_Box_Boxes
+    #    assume box.assbin spans [-1,1]).
     import logging
 
+    base = os.path.basename(path)
+    if "cornell_box" in base.lower():
+        kind = "Cornell-shell"
+        mesh = _cornell_shell_mesh(base)
+        names = ("white", "red", "green")
+        if mat_proc is not None:
+            mesh.groups = [
+                (_apply_mat_proc(ctx, mat_proc, n), None, None, g[3])
+                for n, g in zip(names, mesh.groups)
+            ]
+        else:
+            mesh.groups = [
+                (_shell_material(n), None, None, g[3])
+                for n, g in zip(names, mesh.groups)
+            ]
+    else:
+        if "plain" in base.lower():
+            kind = "ground-plane"
+            mesh = _ground_plane_mesh(base)
+        else:
+            kind = "unit-cube"
+            mesh = _unit_cube_mesh(base)
+        mat = _apply_mat_proc(ctx, mat_proc, base)
+        mesh.groups = [(mat, None, None, g[3]) for g in mesh.groups]
     logging.getLogger("slr_tpu").warning(
-        "model asset %s unavailable; substituting a unit-cube placeholder",
-        path,
+        "model asset %s unavailable; substituting a %s placeholder",
+        path, kind,
     )
-    mesh = _unit_cube_mesh(os.path.basename(path))
-    mat = _apply_mat_proc(ctx, mat_proc, os.path.basename(path))
-    mesh.groups = [(mat, None, None, g[3]) for g in mesh.groups]
     node.add_child(mesh)
     return node
 
 
+def _shell_material(name: str) -> "MaterialDesc":
+    from .graph import MaterialDesc, STexDesc, SpectrumDesc
+
+    rgb = {
+        "white": (0.75, 0.75, 0.75),
+        "red": (0.61, 0.09, 0.07),
+        "green": (0.12, 0.47, 0.10),
+    }[name]
+    return MaterialDesc(kind="matte", stex=(
+        STexDesc(kind="constant",
+                 spectrum=SpectrumDesc(kind="rgb", rgb=rgb)),
+    ))
+
+
+def _cornell_shell_mesh(name: str) -> MeshNode:
+    """Inward-facing [-1,1]^3 Cornell shell, front (z=+1) open: three
+    material groups (white floor/ceiling/back, red left, green right)."""
+    mesh = MeshNode("placeholder:" + name)
+    quads = [
+        # (inward normal, corners, material group)
+        ((0, 1, 0), [(-1, -1, 1), (1, -1, 1), (1, -1, -1), (-1, -1, -1)], 0),
+        ((0, -1, 0), [(-1, 1, -1), (1, 1, -1), (1, 1, 1), (-1, 1, 1)], 0),
+        ((0, 0, 1), [(1, -1, -1), (1, 1, -1), (-1, 1, -1), (-1, -1, -1)], 0),
+        ((1, 0, 0), [(-1, -1, -1), (-1, 1, -1), (-1, 1, 1), (-1, -1, 1)], 1),
+        ((-1, 0, 0), [(1, -1, 1), (1, 1, 1), (1, 1, -1), (1, -1, -1)], 2),
+    ]
+    uv4 = [(0, 0), (1, 0), (1, 1), (0, 1)]
+    group_tris: list = [[], [], []]
+    for n, quad, grp in quads:
+        basev = len(mesh.vertices)
+        nn = np.asarray(n, np.float32)
+        tangent = _any_tangent(nn)
+        for p, uv in zip(quad, uv4):
+            mesh.vertices.append(Vertex(
+                np.asarray(p, np.float32), nn, tangent,
+                np.asarray(uv, np.float32),
+            ))
+        group_tris[grp] += [(basev, basev + 1, basev + 2),
+                            (basev, basev + 2, basev + 3)]
+    for tris in group_tris:
+        mesh.add_group(None, None, None, tris)
+    return mesh
+
+
+def _ground_plane_mesh(name: str) -> MeshNode:
+    """Flat ground at y=0 spanning [-10, 10]^2 (terrain stand-in)."""
+    mesh = MeshNode("placeholder:" + name)
+    s = 10.0
+    nn = np.float32([0, 1, 0])
+    tangent = _any_tangent(nn)
+    for p, uv in zip([(-s, 0, s), (s, 0, s), (s, 0, -s), (-s, 0, -s)],
+                     [(0, 0), (1, 0), (1, 1), (0, 1)]):
+        mesh.vertices.append(Vertex(
+            np.asarray(p, np.float32), nn, tangent,
+            np.asarray(uv, np.float32),
+        ))
+    mesh.add_group(None, None, None, [(0, 1, 2), (0, 2, 3)])
+    return mesh
+
+
 def _unit_cube_mesh(name: str) -> MeshNode:
-    """Axis-aligned cube on [-0.5, 0.5]^2 x [0, 1] (sits on y=0 like most of
-    the reference models it stands in for)."""
+    """Axis-aligned cube spanning [-1, 1]^3, outward normals — the scene
+    transforms in Cornell_Box_Boxes assume box.assbin has these bounds
+    (translate(0,1,0) then scale puts its base exactly on the shell floor)."""
     mesh = MeshNode("placeholder:" + name)
     faces = [
-        ((0, 0, 1), [(-0.5, 0, 0.5), (0.5, 0, 0.5), (0.5, 1, 0.5), (-0.5, 1, 0.5)]),
-        ((0, 0, -1), [(0.5, 0, -0.5), (-0.5, 0, -0.5), (-0.5, 1, -0.5), (0.5, 1, -0.5)]),
-        ((1, 0, 0), [(0.5, 0, 0.5), (0.5, 0, -0.5), (0.5, 1, -0.5), (0.5, 1, 0.5)]),
-        ((-1, 0, 0), [(-0.5, 0, -0.5), (-0.5, 0, 0.5), (-0.5, 1, 0.5), (-0.5, 1, -0.5)]),
-        ((0, 1, 0), [(-0.5, 1, 0.5), (0.5, 1, 0.5), (0.5, 1, -0.5), (-0.5, 1, -0.5)]),
-        ((0, -1, 0), [(-0.5, 0, -0.5), (0.5, 0, -0.5), (0.5, 0, 0.5), (-0.5, 0, 0.5)]),
+        ((0, 0, 1), [(-1, -1, 1), (1, -1, 1), (1, 1, 1), (-1, 1, 1)]),
+        ((0, 0, -1), [(1, -1, -1), (-1, -1, -1), (-1, 1, -1), (1, 1, -1)]),
+        ((1, 0, 0), [(1, -1, 1), (1, -1, -1), (1, 1, -1), (1, 1, 1)]),
+        ((-1, 0, 0), [(-1, -1, -1), (-1, -1, 1), (-1, 1, 1), (-1, 1, -1)]),
+        ((0, 1, 0), [(-1, 1, 1), (1, 1, 1), (1, 1, -1), (-1, 1, -1)]),
+        ((0, -1, 0), [(-1, -1, -1), (1, -1, -1), (1, -1, 1), (-1, -1, 1)]),
     ]
     uv4 = [(0, 0), (1, 0), (1, 1), (0, 1)]
     tris = []

@@ -60,3 +60,22 @@ def test_ibl_scene_renders():
     img = render(scene, 24, 24, spp=1, max_depth=3)
     a = np.asarray(img)
     assert np.isfinite(a).all() and a.mean() > 0.0
+
+
+def test_placeholder_scenes_render_nonblack():
+    """Shape-appropriate placeholders for unbundled .assbin assets: the
+    Cornell_box_* shell stand-in gives the asset-dependent scenes a
+    renderable interior (they were black with a generic cube — camera saw
+    the unlit exterior)."""
+    import jax.numpy as jnp
+
+    from slr_tpu.render.pt import render
+    from slr_tpu.scene.api import load_scene
+
+    for name in ("Cornell_Box_Boxes", "Cornell_Box_ColorChecker"):
+        scene, _, _ = load_scene(
+            f"/root/reference/TestScenes/{name}.txt", spectral=True)
+        img = np.asarray(render(scene, 32, 24, spp=2, max_depth=5, seed=1))
+        assert np.isfinite(img).all(), name
+        assert (img.sum(axis=-1) > 0).mean() > 0.5, (
+            name, (img.sum(axis=-1) > 0).mean())
