@@ -239,7 +239,6 @@ def scene_occluded(scene: FlatScene, o: Array, d: Array, tmin, tmax,
     if scene.has_alpha:
         return scene_intersect_alpha(scene, o, d, tmin, tmax, f=f,
                                      active=active).mask
-    occ = None
     if scene.pallas_tris is not None and jax.default_backend() not in (
         "cpu", "gpu"
     ):
@@ -251,9 +250,7 @@ def scene_occluded(scene: FlatScene, o: Array, d: Array, tmin, tmax,
         # any-hit call answers the whole two-level query.
         return anyhit_pallas(scene.geometry, scene.pallas_tris, o, d, tmin,
                              tmax, active=active, f=f_)
-    if occ is None:
-        return scene_intersect(scene, o, d, tmin, tmax, f).mask
-    return occ
+    return scene_intersect(scene, o, d, tmin, tmax, f).mask
 
 
 def test_visibility(scene: FlatScene, p_from: Array, p_to: Array,
@@ -737,15 +734,6 @@ def render(
     Sample streams are keyed by (seed, absolute sample id = sample_offset+i),
     so splitting an N-spp render into passes — or checkpoint-resuming one —
     reproduces the uninterrupted result bit for bit."""
-    from ..spectrum.spectral import (
-        NUM_STRATA,
-        WL_HI,
-        WL_LO,
-        NUM_SPECTRAL_SAMPLES,
-        bin_to_strata,
-        strata_to_rgb,
-    )
-
     from ..spectrum.spectral import NUM_STRATA, strata_to_rgb
 
     n_pix = width * height

@@ -17,6 +17,27 @@ if "host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
+
+# Test tiers (VERDICT r3 item 10): `-m quick` is the fast unit tier; the
+# golden/parallel/gradient renders are opt-in (`-m golden` or no marker
+# filter). Membership is by module — the heavy modules are the ones whose
+# tests render at golden spp or spawn processes/meshes.
+_GOLDEN_MODULES = {
+    "test_parity", "test_parallel", "test_grad", "test_bpt", "test_ppm",
+    "test_render", "test_scenes", "test_wavefront", "test_instancing",
+    "test_inverse", "test_checkpoint", "test_env", "test_features",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        if mod in _GOLDEN_MODULES:
+            item.add_marker(pytest.mark.golden)
+        else:
+            item.add_marker(pytest.mark.quick)
+
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)

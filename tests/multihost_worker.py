@@ -38,7 +38,7 @@ def main() -> None:
 
     import jax.numpy as jnp
     from jax.experimental import multihost_utils as mh
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import Mesh, PartitionSpec as P
 
     from slr_tpu.parallel.mesh import _film_channels, _shard_film_pass
