@@ -122,7 +122,7 @@ def render_sharded(
         mesh=mesh,
         in_specs=(None, P("tiles")),
         out_specs=P("tiles"),
-        check_rep=False,
+        check_vma=False,
     )
     def render_shard(scene: FlatScene, pixel_id: jnp.ndarray):
         film = jnp.zeros((pixel_id.shape[0], s), jnp.float32)
@@ -171,7 +171,7 @@ def render_bpt_sharded(
         mesh=mesh,
         in_specs=(None, P("tiles")),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     def render_shard(scene: FlatScene, pixel_id: jnp.ndarray):
         film = jnp.zeros((n_pix, s), jnp.float32)

@@ -76,7 +76,7 @@ def intersect_scene_sharded(
         shard_map, mesh=mesh,
         in_specs=(P("tiles"), P("tiles"), P("tiles"), P(), P()),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     def run(tris_s, boxes_s, remap_s, o, d):
         local = PallasTris(

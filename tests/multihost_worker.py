@@ -77,7 +77,7 @@ def main() -> None:
 
     @jax.jit
     @lambda f: shard_map(f, mesh=mesh, in_specs=(P(), P("tiles")),
-                         out_specs=P("tiles"), check_rep=False)
+                         out_specs=P("tiles"), check_vma=False)
     def render_shard(scene, pixel_id):
         film = jnp.zeros((pixel_id.shape[0], s), jnp.float32)
 
