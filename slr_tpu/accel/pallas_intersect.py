@@ -60,9 +60,10 @@ RB = 256           # default rays per program instance (tunable per call)
 DEFAULT_CHUNK = 128
 ROWS = 16          # packed ray rows (sublane-aligned)
 T_FAR = 3e38       # finite stand-in for +inf (inf breaks slab arithmetic)
-# Worklists up to this many int32s ride the scalar prefetch into SMEM
-# (~512 KB); larger tables go to HBM with a per-block DMA.
-SMALL_WL_INTS = 128 * 1024
+# Worklists up to this many entries ride the scalar prefetch into SMEM
+# (each entry = 1 int32 id + 1 f32 near-distance, ~512 KB total); larger
+# tables go to HBM with a per-block DMA.
+SMALL_WL_INTS = 64 * 1024
 
 
 # ---------------------------------------------------------------------------
@@ -392,12 +393,15 @@ def extend_pallas_instanced(static_pt: PallasTris, positions, tri_vidx,
 # Worklist construction (plain XLA, runs inside the caller's jit)
 # ---------------------------------------------------------------------------
 
-def _chunk_worklist(rays: Array, boxes: Array) -> tuple[Array, Array]:
+def _chunk_worklist(rays: Array, boxes: Array
+                    ) -> tuple[Array, Array, Array]:
     """Per-block culled, front-to-back ordered chunk worklists.
 
     rays (NB, 16, RB) packed; boxes (NC, 8). Returns (worklist (NB*NC,) i32,
-    count (NB,) i32). Entries past `count` repeat the last valid chunk so the
-    kernel's repeated index never triggers a fresh DMA."""
+    count (NB,) i32, near (NB*NC,) f32 sorted block-entry distances — the
+    kernel's ordered-traversal break keys). Entries past `count` repeat the
+    last valid chunk so the kernel's repeated index never triggers a fresh
+    DMA."""
     nb, _, rb = rays.shape
     nc = boxes.shape[0]
     o = rays[:, 6:9, :]
@@ -425,6 +429,7 @@ def _chunk_worklist(rays: Array, boxes: Array) -> tuple[Array, Array]:
     tn_blk = jnp.min(jnp.where(ok, tn, T_FAR), axis=1)     # (NB, NC)
     key = jnp.where(blk, tn_blk, jnp.inf)
     order = jnp.argsort(key, axis=1).astype(jnp.int32)
+    near = jnp.minimum(jnp.sort(key, axis=1), T_FAR)
     count = jnp.sum(blk, axis=1).astype(jnp.int32)
     # One-hot select of order[count-1] (take_along_axis lowers to a
     # scalar-core gather).
@@ -433,10 +438,11 @@ def _chunk_worklist(rays: Array, boxes: Array) -> tuple[Array, Array]:
     last = jnp.sum(jnp.where(oh_last, order, 0), axis=1, keepdims=True)
     wl = jnp.where(jnp.arange(nc, dtype=jnp.int32)[None, :] < count[:, None],
                    order, last)
-    return wl.reshape(-1), count
+    return wl.reshape(-1), count, near.reshape(-1)
 
 
-def _chunk_worklist_bundle(rays: Array, boxes: Array) -> tuple[Array, Array]:
+def _chunk_worklist_bundle(rays: Array, boxes: Array
+                           ) -> tuple[Array, Array, Array]:
     """Bundle (per-block interval-arithmetic) worklist culling for LARGE
     entry tables: the per-ray variant materializes (NB, RB, NE) floats,
     which at thousands of instanced entries is gigabytes. Per block, ray
@@ -499,13 +505,14 @@ def _chunk_worklist_bundle(rays: Array, boxes: Array) -> tuple[Array, Array]:
     )
     key = jnp.where(ok, jnp.maximum(tn_l, 0.0), jnp.inf)
     order = jnp.argsort(key, axis=1).astype(jnp.int32)
+    near = jnp.minimum(jnp.sort(key, axis=1), T_FAR)
     count = jnp.sum(ok, axis=1).astype(jnp.int32)
     oh_last = (jnp.arange(ne, dtype=jnp.int32)[None, :]
                == jnp.maximum(count - 1, 0)[:, None])
     last = jnp.sum(jnp.where(oh_last, order, 0), axis=1, keepdims=True)
     wl = jnp.where(jnp.arange(ne, dtype=jnp.int32)[None, :] < count[:, None],
                    order, last)
-    return wl.reshape(-1), count
+    return wl.reshape(-1), count, near.reshape(-1)
 
 
 # Entry-count threshold above which the worklist switches to the bundle
@@ -513,10 +520,32 @@ def _chunk_worklist_bundle(rays: Array, boxes: Array) -> tuple[Array, Array]:
 BUNDLE_THRESHOLD = 192
 
 
-def _build_worklist(rays: Array, boxes: Array) -> tuple[Array, Array]:
+def _build_worklist(rays: Array, boxes: Array
+                    ) -> tuple[Array, Array, Array]:
     if boxes.shape[0] > BUNDLE_THRESHOLD:
         return _chunk_worklist_bundle(rays, boxes)
     return _chunk_worklist(rays, boxes)
+
+
+def _scene_exit_clamp(o: Array, d: Array, tmax_a: Array,
+                      boxes: Array) -> Array:
+    """Clamp each ray's tmax to its exit distance from the scene's union
+    AABB: nothing can be hit beyond it, so the kernel's ordered-traversal
+    break fires even for rays that ultimately MISS everything (sky rays
+    otherwise hold best_t at +inf and defeat the break). The analogue of the
+    reference's traversal naturally terminating at the root box's far slab
+    (SBVH.h:417-442)."""
+    valid = boxes[:, 6] > 0.5
+    big = jnp.float32(T_FAR)
+    lo = jnp.min(jnp.where(valid[:, None], boxes[:, 0:3], big), axis=0)
+    hi = jnp.max(jnp.where(valid[:, None], boxes[:, 3:6], -big), axis=0)
+    inv = 1.0 / jnp.where(jnp.abs(d) < 1e-20,
+                          jnp.where(d >= 0, 1e-20, -1e-20), d)
+    t0 = (lo[None, :] - o) * inv
+    t1 = (hi[None, :] - o) * inv
+    tf = jnp.min(jnp.maximum(t0, t1), axis=1)
+    exit_t = jnp.maximum(tf, 0.0) * 1.0001 + 1e-4
+    return jnp.minimum(tmax_a, exit_t)
 
 
 def worklist_stats(pt: "PallasTris", o: Array, d: Array,
@@ -529,8 +558,9 @@ def worklist_stats(pt: "PallasTris", o: Array, d: Array,
 
     r = o.shape[0]
     tmin_a, tmax_a = _ray_ranges(r, RAY_EPSILON, jnp.inf, active)
+    tmax_a = _scene_exit_clamp(o, d, tmax_a, pt.boxes)
     rays, _ = _pack_rays(o, d, tmin_a, tmax_a, rb)
-    _, cnt = _chunk_worklist(rays, pt.boxes)
+    _, cnt, _ = _build_worklist(rays, pt.boxes)
     c = np.asarray(cnt)
     return {
         "n_blocks": int(c.size),
@@ -660,9 +690,9 @@ def _xform_rays(rays16, itrs_ref, i, rbuf, rb):
     rbuf[10:16, :] = jnp.zeros((6, rb), jnp.float32)
 
 
-def _traverse_closest(i, wl_at, cnt_ref, boxes_ref, echunk_ref, einst_ref,
-                      itrs_ref, rays_ref, tris_hbm, t_ref, idx_ref, inst_ref,
-                      buf, rbuf, sem, chunk, rb):
+def _traverse_closest(i, wl_at, wtn_at, cnt_ref, boxes_ref, echunk_ref,
+                      einst_ref, itrs_ref, rays_ref, tris_hbm, t_ref,
+                      idx_ref, inst_ref, buf, rbuf, sem, chunk, rb):
     rays16 = rays_ref[0]          # (16, RB)
     tmin = rays16[10, :]
     tmax = rays16[11, :]
@@ -676,81 +706,124 @@ def _traverse_closest(i, wl_at, cnt_ref, boxes_ref, echunk_ref, einst_ref,
         return pltpu.make_async_copy(tris_hbm.at[c], buf.at[slot],
                                      sem.at[slot])
 
-    @pl.when(n > 0)
+    # Scan-ahead traversal: the per-entry block box test (a ~30-op VPU
+    # test against prefetched SMEM box scalars, using the CURRENT per-ray
+    # best t) runs BEFORE the chunk DMA, so skipped entries cost ~30 VPU
+    # ops instead of a 40 KB fetch — the wavefront analogue of the
+    # reference's ordered stack descent pruning subtrees by `isect->t`
+    # (SBVH.h:417-442). The worklist is near-to-far sorted, so the scan
+    # also stops outright once the next entry's near plane lies beyond
+    # every ray's current best (suffix break; tmax is pre-clamped to the
+    # scene-box exit so miss rays cannot pin the bound at +inf).
+    def next_pass(k0):
+        ub = jnp.max(t_ref[0, 0, :])
+
+        def clampi(j):
+            return jnp.maximum(jnp.minimum(j, n - 1), 0)
+
+        def scan_cond(j):
+            in_range = jnp.logical_and(j < n, wtn_at(clampi(j)) <= ub)
+            hit_box = _block_hits_box(rays16, boxes_ref, wl_at(clampi(j)),
+                                      t_ref[0, 0, :])
+            return jnp.logical_and(in_range, jnp.logical_not(hit_box))
+
+        j = jax.lax.while_loop(scan_cond, lambda j: j + 1,
+                               jnp.maximum(jnp.minimum(k0, n), 0))
+        done = jnp.logical_or(j >= n, wtn_at(clampi(j)) > ub)
+        return jnp.where(done, n, j)
+
+    j0 = next_pass(0)
+
+    @pl.when(j0 < n)
     def _traverse():
-        dma(0, 0).start()
+        dma(0, j0).start()
 
-        def body(k, _):
-            slot = jax.lax.rem(k, 2)
+        def cond(carry):
+            return carry[1] < n
 
-            @pl.when(k + 1 < n)
+        def body(carry):
+            it, j, jn = carry
+            slot = jax.lax.rem(it, 2)
+
+            @pl.when(jn < n)
             def _prefetch():
-                dma(1 - slot, k + 1).start()
+                dma(1 - slot, jn).start()
 
-            dma(slot, k).wait()
-            e = wl_at(k)
+            dma(slot, j).wait()
+            e = wl_at(j)
             inst = einst_ref[e]
 
-            @pl.when(_block_hits_box(rays16, boxes_ref, e, t_ref[0, 0, :]))
-            def _chunk():
-                @pl.when(inst >= 0)
-                def _xform():
-                    _xform_rays(rays16, itrs_ref, jnp.maximum(inst, 0),
-                                rbuf, rb)
+            @pl.when(inst >= 0)
+            def _xform():
+                _xform_rays(rays16, itrs_ref, jnp.maximum(inst, 0),
+                            rbuf, rb)
 
-                tris16 = buf[pl.ds(slot, 1)][0]
-                # Scalar-predicated select instead of copying rays16 into
-                # rbuf for static entries (a 16xRB copy per chunk): where()
-                # SELECTS, so stale/NaN scratch on the static side is inert.
-                rays_in = jnp.where(inst >= 0, rbuf[:, :], rays16)
-                through, den, num = _contract(rays_in, tris16, chunk)
-                denom_ok = jnp.abs(den) > 1e-12
-                t = num / jnp.where(denom_ok, den, 1.0)
+            tris16 = buf[pl.ds(slot, 1)][0]
+            # Scalar-predicated select instead of copying rays16 into
+            # rbuf for static entries (a 16xRB copy per chunk): where()
+            # SELECTS, so stale/NaN scratch on the static side is inert.
+            rays_in = jnp.where(inst >= 0, rbuf[:, :], rays16)
+            through, den, num = _contract(rays_in, tris16, chunk)
+            denom_ok = jnp.abs(den) > 1e-12
+            t = num / jnp.where(denom_ok, den, 1.0)
 
-                best_col = t_ref[0, 0, :][:, None]
-                hit = (
-                    through
-                    & denom_ok
-                    & (t >= tmin[:, None])
-                    & (t < best_col)
-                )
-                t_hit = jnp.where(hit, t, jnp.inf)
-                t_min = jnp.min(t_hit, axis=1)       # (RB,)
-                a_min = jnp.argmin(t_hit, axis=1).astype(jnp.int32)
-                closer = t_min < t_ref[0, 0, :]
-                c = echunk_ref[e]
-                t_ref[0, 0, :] = jnp.where(closer, t_min, t_ref[0, 0, :])
-                idx_ref[0, 0, :] = jnp.where(
-                    closer, c * chunk + a_min, idx_ref[0, 0, :]
-                )
-                inst_ref[0, 0, :] = jnp.where(closer, inst,
-                                              inst_ref[0, 0, :])
-            return 0
+            best_col = t_ref[0, 0, :][:, None]
+            hit = (
+                through
+                & denom_ok
+                & (t >= tmin[:, None])
+                & (t < best_col)
+            )
+            t_hit = jnp.where(hit, t, jnp.inf)
+            t_min = jnp.min(t_hit, axis=1)       # (RB,)
+            a_min = jnp.argmin(t_hit, axis=1).astype(jnp.int32)
+            closer = t_min < t_ref[0, 0, :]
+            c = echunk_ref[e]
+            t_ref[0, 0, :] = jnp.where(closer, t_min, t_ref[0, 0, :])
+            idx_ref[0, 0, :] = jnp.where(
+                closer, c * chunk + a_min, idx_ref[0, 0, :]
+            )
+            inst_ref[0, 0, :] = jnp.where(closer, inst,
+                                          inst_ref[0, 0, :])
 
-        jax.lax.fori_loop(0, n, body, 0)
+            # Next candidate AFTER the one already prefetched; the scan
+            # sees the just-updated best t, so it prunes tighter than the
+            # prefetch decision did (one-entry staleness, amortized).
+            jn2 = next_pass(jn + 1)
+            return (it + 1, jn, jn2)
+
+        jax.lax.while_loop(cond, body, (0, j0, next_pass(j0 + 1)))
 
 
 def _kernel(cnt_ref, boxes_ref, echunk_ref, einst_ref, itrs_ref,
-            rays_ref, wl_hbm, tris_hbm, t_ref, idx_ref, inst_ref, buf, rbuf,
-            wl_ref, sem, wl_sem, *, chunk: int, rb: int, ncap: int):
+            rays_ref, wl_hbm, wtn_hbm, tris_hbm, t_ref, idx_ref, inst_ref,
+            buf, rbuf, wl_ref, wtn_ref, sem, wl_sem, wtn_sem, *, chunk: int,
+            rb: int, ncap: int):
     i = pl.program_id(0)
     # The (NB, NE) worklist lives in HBM (it exceeds SMEM at instanced
     # entry counts); each block DMAs its row into SMEM scratch.
     wl_cp = pltpu.make_async_copy(wl_hbm.at[i], wl_ref, wl_sem)
+    wtn_cp = pltpu.make_async_copy(wtn_hbm.at[i], wtn_ref, wtn_sem)
     wl_cp.start()
+    wtn_cp.start()
     wl_cp.wait()
+    wtn_cp.wait()
 
     def wl_at(k):
         return wl_ref[k // 128, jax.lax.rem(k, 128)]
 
-    _traverse_closest(i, wl_at, cnt_ref, boxes_ref, echunk_ref, einst_ref,
-                      itrs_ref, rays_ref, tris_hbm, t_ref, idx_ref, inst_ref,
-                      buf, rbuf, sem, chunk, rb)
+    def wtn_at(k):
+        return wtn_ref[k // 128, jax.lax.rem(k, 128)]
+
+    _traverse_closest(i, wl_at, wtn_at, cnt_ref, boxes_ref, echunk_ref,
+                      einst_ref, itrs_ref, rays_ref, tris_hbm, t_ref,
+                      idx_ref, inst_ref, buf, rbuf, sem, chunk, rb)
 
 
-def _kernel_smallwl(wl_ref, cnt_ref, boxes_ref, echunk_ref, einst_ref,
-                    itrs_ref, rays_ref, tris_hbm, t_ref, idx_ref, inst_ref,
-                    buf, rbuf, sem, *, chunk: int, rb: int, ncap: int):
+def _kernel_smallwl(wl_ref, wtn_ref, cnt_ref, boxes_ref, echunk_ref,
+                    einst_ref, itrs_ref, rays_ref, tris_hbm, t_ref, idx_ref,
+                    inst_ref, buf, rbuf, sem, *, chunk: int, rb: int,
+                    ncap: int):
     """Small-table variant: the whole (NB * NE) worklist rides the scalar
     prefetch into SMEM — no per-block DMA stall (the hot path for typical
     static scenes, where NE is tens of entries)."""
@@ -760,18 +833,22 @@ def _kernel_smallwl(wl_ref, cnt_ref, boxes_ref, echunk_ref, einst_ref,
     def wl_at(k):
         return wl_ref[base + k]
 
-    _traverse_closest(i, wl_at, cnt_ref, boxes_ref, echunk_ref, einst_ref,
-                      itrs_ref, rays_ref, tris_hbm, t_ref, idx_ref, inst_ref,
-                      buf, rbuf, sem, chunk, rb)
+    def wtn_at(k):
+        return wtn_ref[base + k]
+
+    _traverse_closest(i, wl_at, wtn_at, cnt_ref, boxes_ref, echunk_ref,
+                      einst_ref, itrs_ref, rays_ref, tris_hbm, t_ref,
+                      idx_ref, inst_ref, buf, rbuf, sem, chunk, rb)
 
 
-def _traverse_any(i, wl_at, cnt_ref, boxes_ref, echunk_ref, einst_ref,
-                  itrs_ref, rays_ref, tris_hbm, hit_ref, buf, rbuf, sem,
-                  chunk, rb):
+def _traverse_any(i, wl_at, wtn_at, cnt_ref, boxes_ref, echunk_ref,
+                  einst_ref, itrs_ref, rays_ref, tris_hbm, hit_ref, buf,
+                  rbuf, sem, chunk, rb):
     """Any-hit traversal: no argmin, no division. A triangle occludes iff
     t = num/den lies in [tmin, tmax], tested as sign conditions on
-    (num - tmin*den)*(num - tmax*den) — fmas instead of a divide. Once
-    every live ray is occluded the remaining worklist is skipped."""
+    (num - tmin*den)*(num - tmax*den) — fmas instead of a divide. The loop
+    breaks as soon as every live ray is occluded, or the next (sorted)
+    entry's near plane lies beyond every open ray's tmax."""
     rays16 = rays_ref[0]
     tmin = rays16[10, :]
     tmax = rays16[11, :]
@@ -784,83 +861,140 @@ def _traverse_any(i, wl_at, cnt_ref, boxes_ref, echunk_ref, einst_ref,
         return pltpu.make_async_copy(tris_hbm.at[c], buf.at[slot],
                                      sem.at[slot])
 
-    @pl.when(n > 0)
+    # Scan-ahead: box-test entries (against OPEN rays only) before paying
+    # their DMA; stop when all live rays are occluded or the sorted
+    # worklist's next near plane is beyond every open ray's tmax.
+    def next_pass(k0):
+        open_ray = live & (hit_ref[0, 0, :] == 0)
+        ub = jnp.max(jnp.where(open_ray, tmax, -T_FAR))
+
+        def clampi(j):
+            return jnp.maximum(jnp.minimum(j, n - 1), 0)
+
+        def scan_cond(j):
+            in_range = jnp.logical_and(j < n, wtn_at(clampi(j)) <= ub)
+            hit_box = _block_hits_box(rays16, boxes_ref, wl_at(clampi(j)),
+                                      tmax, enable=open_ray)
+            return jnp.logical_and(in_range, jnp.logical_not(hit_box))
+
+        j = jax.lax.while_loop(scan_cond, lambda j: j + 1,
+                               jnp.maximum(jnp.minimum(k0, n), 0))
+        done = jnp.logical_or(j >= n, wtn_at(clampi(j)) > ub)
+        return jnp.where(done, n, j)
+
+    j0 = next_pass(0)
+
+    @pl.when(j0 < n)
     def _traverse():
-        dma(0, 0).start()
+        dma(0, j0).start()
 
-        def body(k, _):
-            slot = jax.lax.rem(k, 2)
+        def cond(carry):
+            return carry[1] < n
 
-            @pl.when(k + 1 < n)
+        def body(carry):
+            it, j, jn = carry
+            slot = jax.lax.rem(it, 2)
+
+            @pl.when(jn < n)
             def _prefetch():
-                dma(1 - slot, k + 1).start()
+                dma(1 - slot, jn).start()
 
-            dma(slot, k).wait()
-            e = wl_at(k)
+            dma(slot, j).wait()
+            e = wl_at(j)
             inst = einst_ref[e]
-            open_ray = live & (hit_ref[0, 0, :] == 0)
 
-            @pl.when(_block_hits_box(rays16, boxes_ref, e, tmax,
-                                     enable=open_ray))
-            def _chunk():
-                @pl.when(inst >= 0)
-                def _xform():
-                    _xform_rays(rays16, itrs_ref, jnp.maximum(inst, 0),
-                                rbuf, rb)
+            @pl.when(inst >= 0)
+            def _xform():
+                _xform_rays(rays16, itrs_ref, jnp.maximum(inst, 0),
+                            rbuf, rb)
 
-                tris16 = buf[pl.ds(slot, 1)][0]
-                rays_in = jnp.where(inst >= 0, rbuf[:, :], rays16)
-                through, den, num = _contract(rays_in, tris16, chunk)
-                lo = num - tmin[:, None] * den       # den * (t - tmin)
-                hi = num - tmax[:, None] * den
-                in_range = (lo * hi <= 0) & (jnp.abs(den) > 1e-12)
-                # The live guard protects against the multiply-form test
-                # degenerating on inactive lanes' inverted [T_FAR, -T_FAR]
-                # range. Formed 2-D from f32 (Mosaic can't insert a minor
-                # dim on an i1 vector).
-                occluded = through & in_range & (
-                    tmax[:, None] >= tmin[:, None]
-                )
-                any_hit = jnp.any(occluded, axis=1).astype(jnp.int32)
-                hit_ref[0, 0, :] = hit_ref[0, 0, :] | any_hit
-            return 0
+            tris16 = buf[pl.ds(slot, 1)][0]
+            rays_in = jnp.where(inst >= 0, rbuf[:, :], rays16)
+            through, den, num = _contract(rays_in, tris16, chunk)
+            lo = num - tmin[:, None] * den       # den * (t - tmin)
+            hi = num - tmax[:, None] * den
+            in_range = (lo * hi <= 0) & (jnp.abs(den) > 1e-12)
+            # The live guard protects against the multiply-form test
+            # degenerating on inactive lanes' inverted [T_FAR, -T_FAR]
+            # range. Formed 2-D from f32 (Mosaic can't insert a minor
+            # dim on an i1 vector).
+            occluded = through & in_range & (
+                tmax[:, None] >= tmin[:, None]
+            )
+            any_hit = jnp.any(occluded, axis=1).astype(jnp.int32)
+            hit_ref[0, 0, :] = hit_ref[0, 0, :] | any_hit
 
-        jax.lax.fori_loop(0, n, body, 0)
+            jn2 = next_pass(jn + 1)
+            return (it + 1, jn, jn2)
+
+        jax.lax.while_loop(cond, body, (0, j0, next_pass(j0 + 1)))
 
 
 def _kernel_any(cnt_ref, boxes_ref, echunk_ref, einst_ref, itrs_ref,
-                rays_ref, wl_hbm, tris_hbm, hit_ref, buf, rbuf, wl_ref, sem,
-                wl_sem, *, chunk: int, rb: int, ncap: int):
+                rays_ref, wl_hbm, wtn_hbm, tris_hbm, hit_ref, buf, rbuf,
+                wl_ref, wtn_ref, sem, wl_sem, wtn_sem, *, chunk: int,
+                rb: int, ncap: int):
     i = pl.program_id(0)
     wl_cp = pltpu.make_async_copy(wl_hbm.at[i], wl_ref, wl_sem)
+    wtn_cp = pltpu.make_async_copy(wtn_hbm.at[i], wtn_ref, wtn_sem)
     wl_cp.start()
+    wtn_cp.start()
     wl_cp.wait()
+    wtn_cp.wait()
 
     def wl_at(k):
         return wl_ref[k // 128, jax.lax.rem(k, 128)]
 
-    _traverse_any(i, wl_at, cnt_ref, boxes_ref, echunk_ref, einst_ref,
-                  itrs_ref, rays_ref, tris_hbm, hit_ref, buf, rbuf, sem,
-                  chunk, rb)
+    def wtn_at(k):
+        return wtn_ref[k // 128, jax.lax.rem(k, 128)]
+
+    _traverse_any(i, wl_at, wtn_at, cnt_ref, boxes_ref, echunk_ref,
+                  einst_ref, itrs_ref, rays_ref, tris_hbm, hit_ref, buf,
+                  rbuf, sem, chunk, rb)
 
 
-def _kernel_any_smallwl(wl_ref, cnt_ref, boxes_ref, echunk_ref, einst_ref,
-                        itrs_ref, rays_ref, tris_hbm, hit_ref, buf, rbuf,
-                        sem, *, chunk: int, rb: int, ncap: int):
+def _kernel_any_smallwl(wl_ref, wtn_ref, cnt_ref, boxes_ref, echunk_ref,
+                        einst_ref, itrs_ref, rays_ref, tris_hbm, hit_ref,
+                        buf, rbuf, sem, *, chunk: int, rb: int, ncap: int):
     i = pl.program_id(0)
     base = i * ncap
 
     def wl_at(k):
         return wl_ref[base + k]
 
-    _traverse_any(i, wl_at, cnt_ref, boxes_ref, echunk_ref, einst_ref,
-                  itrs_ref, rays_ref, tris_hbm, hit_ref, buf, rbuf, sem,
-                  chunk, rb)
+    def wtn_at(k):
+        return wtn_ref[base + k]
+
+    _traverse_any(i, wl_at, wtn_at, cnt_ref, boxes_ref, echunk_ref,
+                  einst_ref, itrs_ref, rays_ref, tris_hbm, hit_ref, buf,
+                  rbuf, sem, chunk, rb)
+
+
+def _pad_wl(wl, wtn, nb, n_entries):
+    """Pad worklist rows to a full (8, 128) tile multiple: the per-block
+    slice wl[i] must be tile-aligned in BOTH trailing dims or the DMA reads
+    garbage (observed as TPU worker faults at 3+ sublane rows). Padding
+    repeats the last valid entry and is never visited (cnt gates the
+    loop)."""
+    ne_pad = -(-n_entries // 1024) * 1024
+    wl2 = wl.reshape(nb, n_entries)
+    wtn2 = wtn.reshape(nb, n_entries)
+    if ne_pad != n_entries:
+        wl2 = jnp.concatenate(
+            [wl2, jnp.broadcast_to(wl2[:, -1:], (nb, ne_pad - n_entries))],
+            axis=1,
+        )
+        wtn2 = jnp.concatenate(
+            [wtn2, jnp.broadcast_to(wtn2[:, -1:], (nb, ne_pad - n_entries))],
+            axis=1,
+        )
+    return (wl2.reshape(nb, ne_pad // 128, 128),
+            wtn2.reshape(nb, ne_pad // 128, 128), ne_pad)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("chunk", "n_entries", "rb", "interpret"))
-def _run_kernel(wl, cnt, boxes, echunk, einst, itrs, rays, tris, chunk,
+def _run_kernel(wl, wtn, cnt, boxes, echunk, einst, itrs, rays, tris, chunk,
                 n_entries, rb=RB, interpret=False):
     nb = rays.shape[0]
     out_shape = [
@@ -879,7 +1013,7 @@ def _run_kernel(wl, cnt, boxes, echunk, einst, itrs, rays, tris, chunk,
         kernel = functools.partial(_kernel_smallwl, chunk=chunk, rb=rb,
                                    ncap=n_entries)
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=6,
+            num_scalar_prefetch=7,
             grid=(nb,),
             in_specs=[
                 pl.BlockSpec((1, ROWS, rb), lambda i, *_: (i, 0, 0)),
@@ -897,21 +1031,9 @@ def _run_kernel(wl, cnt, boxes, echunk, einst, itrs, rays, tris, chunk,
             grid_spec=grid_spec,
             out_shape=out_shape,
             interpret=interpret,
-        )(wl, cnt, boxes.reshape(-1), echunk, einst, itrs.reshape(-1),
+        )(wl, wtn, cnt, boxes.reshape(-1), echunk, einst, itrs.reshape(-1),
           rays, tris)
-    # Pad the worklist row to a full (8, 128) tile multiple: the per-block
-    # slice wl[i] must be tile-aligned in BOTH trailing dims or the DMA
-    # reads garbage (observed as TPU worker faults at 3+ sublane rows).
-    # Padding repeats the last valid entry and is never visited (cnt gates
-    # the loop).
-    ne_pad = -(-n_entries // 1024) * 1024
-    wl2 = wl.reshape(nb, n_entries)
-    if ne_pad != n_entries:
-        wl2 = jnp.concatenate(
-            [wl2, jnp.broadcast_to(wl2[:, -1:], (nb, ne_pad - n_entries))],
-            axis=1,
-        )
-    wl2 = wl2.reshape(nb, ne_pad // 128, 128)
+    wl2, wtn2, ne_pad = _pad_wl(wl, wtn, nb, n_entries)
     kernel = functools.partial(_kernel, chunk=chunk, rb=rb, ncap=ne_pad)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
@@ -920,13 +1042,16 @@ def _run_kernel(wl, cnt, boxes, echunk, einst, itrs, rays, tris, chunk,
             pl.BlockSpec((1, ROWS, rb), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((2, ROWS, 5 * chunk), jnp.float32),
             pltpu.VMEM((ROWS, rb), jnp.float32),
             pltpu.SMEM((ne_pad // 128, 128), jnp.int32),
+            pltpu.SMEM((ne_pad // 128, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -936,19 +1061,19 @@ def _run_kernel(wl, cnt, boxes, echunk, einst, itrs, rays, tris, chunk,
         out_shape=out_shape,
         interpret=interpret,
     )(cnt, boxes.reshape(-1), echunk, einst,
-      itrs.reshape(-1), rays, wl2, tris)
+      itrs.reshape(-1), rays, wl2, wtn2, tris)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("chunk", "n_entries", "rb", "interpret"))
-def _run_kernel_any(wl, cnt, boxes, echunk, einst, itrs, rays, tris, chunk,
-                    n_entries, rb=RB, interpret=False):
+def _run_kernel_any(wl, wtn, cnt, boxes, echunk, einst, itrs, rays, tris,
+                    chunk, n_entries, rb=RB, interpret=False):
     nb = rays.shape[0]
     if nb * n_entries <= SMALL_WL_INTS:
         kernel = functools.partial(_kernel_any_smallwl, chunk=chunk, rb=rb,
                                    ncap=n_entries)
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=6,
+            num_scalar_prefetch=7,
             grid=(nb,),
             in_specs=[
                 pl.BlockSpec((1, ROWS, rb), lambda i, *_: (i, 0, 0)),
@@ -966,16 +1091,9 @@ def _run_kernel_any(wl, cnt, boxes, echunk, einst, itrs, rays, tris, chunk,
             grid_spec=grid_spec,
             out_shape=[jax.ShapeDtypeStruct((nb, 1, rb), jnp.int32)],
             interpret=interpret,
-        )(wl, cnt, boxes.reshape(-1), echunk, einst, itrs.reshape(-1),
+        )(wl, wtn, cnt, boxes.reshape(-1), echunk, einst, itrs.reshape(-1),
           rays, tris)
-    ne_pad = -(-n_entries // 1024) * 1024
-    wl2 = wl.reshape(nb, n_entries)
-    if ne_pad != n_entries:
-        wl2 = jnp.concatenate(
-            [wl2, jnp.broadcast_to(wl2[:, -1:], (nb, ne_pad - n_entries))],
-            axis=1,
-        )
-    wl2 = wl2.reshape(nb, ne_pad // 128, 128)
+    wl2, wtn2, ne_pad = _pad_wl(wl, wtn, nb, n_entries)
     kernel = functools.partial(_kernel_any, chunk=chunk, rb=rb, ncap=ne_pad)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
@@ -984,13 +1102,16 @@ def _run_kernel_any(wl, cnt, boxes, echunk, einst, itrs, rays, tris, chunk,
             pl.BlockSpec((1, ROWS, rb), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[pl.BlockSpec((1, 1, rb), lambda i, *_: (i, 0, 0))],
         scratch_shapes=[
             pltpu.VMEM((2, ROWS, 5 * chunk), jnp.float32),
             pltpu.VMEM((ROWS, rb), jnp.float32),
             pltpu.SMEM((ne_pad // 128, 128), jnp.int32),
+            pltpu.SMEM((ne_pad // 128, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -1000,7 +1121,7 @@ def _run_kernel_any(wl, cnt, boxes, echunk, einst, itrs, rays, tris, chunk,
         out_shape=[jax.ShapeDtypeStruct((nb, 1, rb), jnp.int32)],
         interpret=interpret,
     )(cnt, boxes.reshape(-1), echunk, einst,
-      itrs.reshape(-1), rays, wl2, tris)
+      itrs.reshape(-1), rays, wl2, wtn2, tris)
 
 
 # ---------------------------------------------------------------------------
@@ -1075,11 +1196,12 @@ def anyhit_pallas(
     (no per-triangle divide, no argmin)."""
     r = o.shape[0]
     tmin_a, tmax_a = _ray_ranges(r, tmin, tmax, active)
+    tmax_a = _scene_exit_clamp(o, d, tmax_a, pt.boxes)
     rays, _ = _pack_rays(o, d, tmin_a, tmax_a, rb, f=f)
-    wl, cnt = _build_worklist(rays, pt.boxes)
+    wl, cnt, wtn = _build_worklist(rays, pt.boxes)
     echunk, einst, itrs = _prefetch_tables(pt)
     (hit,) = _run_kernel_any(
-        wl, cnt, pt.boxes, echunk, einst, itrs, rays, pt.tris, pt.chunk,
+        wl, wtn, cnt, pt.boxes, echunk, einst, itrs, rays, pt.tris, pt.chunk,
         pt.n_entries, rb=rb, interpret=interpret,
     )
     return hit.reshape(-1)[:r] > 0
@@ -1104,12 +1226,13 @@ def intersect_pallas(
     against the LOCAL-space triangle."""
     r = o.shape[0]
     tmin_a, tmax_a = _ray_ranges(r, tmin, tmax, active)
+    tmax_a = _scene_exit_clamp(o, d, tmax_a, pt.boxes)
     rays, _ = _pack_rays(o, d, tmin_a, tmax_a, rb, f=f)
-    wl, cnt = _build_worklist(rays, pt.boxes)
+    wl, cnt, wtn = _build_worklist(rays, pt.boxes)
     echunk, einst, itrs = _prefetch_tables(pt)
 
     best_t, best_idx, best_inst = _run_kernel(
-        wl, cnt, pt.boxes, echunk, einst, itrs, rays, pt.tris, pt.chunk,
+        wl, wtn, cnt, pt.boxes, echunk, einst, itrs, rays, pt.tris, pt.chunk,
         pt.n_entries, rb=rb, interpret=interpret,
     )
     best_t = best_t.reshape(-1)[:r]

@@ -485,37 +485,101 @@ class SceneBuilder:
         self.env_scale = float(scale)
 
     # -- build --------------------------------------------------------------
-    def build(self, use_bvh: bool = True) -> FlatScene:
+    def build(self, use_bvh: bool = True,
+              flatten_static_instances: bool = True,
+              flatten_budget: int = 4_000_000) -> FlatScene:
         s = self.s
         if self.camera is None:
             self.set_camera_perspective(np.eye(4, dtype=np.float32), 1.0, 0.52)
         assert self.positions or self._blas, "scene has no geometry"
-        if not self.positions:
+
+        # Local copies: build() never mutates the builder's recorded lists.
+        st_positions = list(self.positions)
+        st_normals = list(self.normals)
+        st_tangents = list(self.tangents)
+        st_uvs = list(self.uvs)
+        st_tri_vidx = list(self.tri_vidx)
+        st_tri_mat = list(self.tri_mat)
+        st_tri_alpha = list(self.tri_alpha)
+        st_tri_ntex = list(self.tri_ntex)
+        nverts = self._nverts
+        inst_rows = list(self.instance_rows)
+
+        # Static-instance flattening: instances whose shutter-begin/end
+        # transforms agree are baked into WORLD-space static geometry so they
+        # ride the SBVH treelet chunks (O(log n)-class culled traversal)
+        # instead of one worklist entry per instance. This is the reference's
+        # own semantics for static transforms — nodes.cpp:110-171 bakes
+        # static TFs into vertex buffers at flatten; only animated/instanced
+        # transforms keep TransformedSurfaceObject wrappers. HBM makes the
+        # memory trade trivial where the reference's RAM did not.
+        if flatten_static_instances and inst_rows:
+            n_flat = sum(
+                sum(t.shape[0] for t in self._blas[bid]["tri_vidx"])
+                for bid, m0, m1 in inst_rows if np.array_equal(m0, m1)
+            )
+            if n_flat <= flatten_budget:
+                blas_cat: dict[int, tuple] = {}
+                kept = []
+                for bid, m0, m1 in inst_rows:
+                    if not np.array_equal(m0, m1):
+                        kept.append((bid, m0, m1))
+                        continue
+                    if bid not in blas_cat:
+                        b = self._blas[bid]
+                        blas_cat[bid] = tuple(
+                            np.concatenate(b[k]) for k in (
+                                "positions", "normals", "tangents", "uvs",
+                                "tri_vidx", "tri_mat", "tri_alpha",
+                                "tri_ntex")
+                        )
+                    bp, bn, bt, bu, bv, bm, ba, bx = blas_cat[bid]
+                    lin = m0[:3, :3]
+                    p = bp @ lin.T + m0[:3, 3]
+                    nn = bn @ np.linalg.inv(lin)  # inverse-transpose
+                    nn = nn / np.maximum(
+                        np.linalg.norm(nn, axis=-1, keepdims=True), 1e-20)
+                    tt = bt @ lin.T
+                    tt = tt / np.maximum(
+                        np.linalg.norm(tt, axis=-1, keepdims=True), 1e-20)
+                    st_positions.append(p.astype(np.float32))
+                    st_normals.append(nn.astype(np.float32))
+                    st_tangents.append(tt.astype(np.float32))
+                    st_uvs.append(bu)
+                    st_tri_vidx.append(bv + nverts)
+                    st_tri_mat.append(bm)
+                    st_tri_alpha.append(ba)
+                    st_tri_ntex.append(bx)
+                    nverts += p.shape[0]
+                inst_rows = kept
+
+        if not st_positions:
             # Fully-instanced scene: keep a degenerate (never-hit) static
             # triangle so the static prefix and its accelerators stay valid.
-            self.positions.append(np.full((3, 3), 1e30, np.float32))
-            self.normals.append(np.tile(np.float32([0, 1, 0]), (3, 1)))
-            self.tangents.append(np.tile(np.float32([1, 0, 0]), (3, 1)))
-            self.uvs.append(np.zeros((3, 2), np.float32))
-            self.tri_vidx.append(np.asarray([[0, 1, 2]], np.int32) + self._nverts)
-            self.tri_mat.append(np.zeros((1,), np.int32))
-            self.tri_alpha.append(np.full((1,), -1, np.int32))
-            self.tri_ntex.append(np.full((1,), -1, np.int32))
-            self._nverts += 3
-        positions = np.concatenate(self.positions)
-        normals = np.concatenate(self.normals)
-        tangents = np.concatenate(self.tangents)
-        uvs = np.concatenate(self.uvs)
-        tri_vidx = np.concatenate(self.tri_vidx)
-        tri_mat = np.concatenate(self.tri_mat)
-        tri_alpha = np.concatenate(self.tri_alpha)
-        tri_ntex = np.concatenate(self.tri_ntex)
+            st_positions.append(np.full((3, 3), 1e30, np.float32))
+            st_normals.append(np.tile(np.float32([0, 1, 0]), (3, 1)))
+            st_tangents.append(np.tile(np.float32([1, 0, 0]), (3, 1)))
+            st_uvs.append(np.zeros((3, 2), np.float32))
+            st_tri_vidx.append(np.asarray([[0, 1, 2]], np.int32) + nverts)
+            st_tri_mat.append(np.zeros((1,), np.int32))
+            st_tri_alpha.append(np.full((1,), -1, np.int32))
+            st_tri_ntex.append(np.full((1,), -1, np.int32))
+            nverts += 3
+        positions = np.concatenate(st_positions)
+        normals = np.concatenate(st_normals)
+        tangents = np.concatenate(st_tangents)
+        uvs = np.concatenate(st_uvs)
+        tri_vidx = np.concatenate(st_tri_vidx)
+        tri_mat = np.concatenate(st_tri_mat)
+        tri_alpha = np.concatenate(st_tri_alpha)
+        tri_ntex = np.concatenate(st_tri_ntex)
         n_static = tri_vidx.shape[0]
 
         # Append BLAS geometry (local space) after the static prefix; the
-        # static accelerators below only cover [0, n_static).
+        # static accelerators below only cover [0, n_static). Skipped when
+        # flattening left no live instances.
         blas_ranges: list[tuple[int, int]] = []
-        if self._blas:
+        if self._blas and inst_rows:
             assert self._cur_blas is None, "unterminated BLAS recording"
             voff = positions.shape[0]
             toff = n_static
@@ -738,13 +802,13 @@ class SceneBuilder:
 
         # Two-level structure for instanced / animated geometry.
         instances = None
-        if self.instance_rows:
+        if inst_rows:
             from ..accel.instances import build_instances
 
             instances = build_instances(
-                positions, tri_vidx, blas_ranges, self.instance_rows
+                positions, tri_vidx, blas_ranges, inst_rows
             )
-        elif self._blas:
+        elif self._blas and not self.instance_rows:
             raise ValueError("BLAS recorded but no instances added")
 
         # World bounding sphere (Scene::build, SurfaceObject.cpp:400-405):
@@ -797,7 +861,7 @@ class SceneBuilder:
             # block transformed in-kernel (accel/pallas_intersect.py).
             pallas_tris = extend_pallas_instanced(
                 pallas_tris, positions, tri_vidx, blas_ranges,
-                self.instance_rows,
+                inst_rows,
             )
 
         from .types import NormalTextures

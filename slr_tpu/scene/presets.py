@@ -277,4 +277,4 @@ def grass_field(
         @ np.asarray(m3.mat_rotate_x(0.35))
     ).astype(np.float32)
     b.set_camera_perspective(cam, 4.0 / 3.0, 0.9)
-    return b.build(use_bvh=False)
+    return b.build()
