@@ -99,6 +99,10 @@ class PallasTris(NamedTuple):
     entry_chunk: Array = None
     entry_inst: Array = None
     inst_trs: Array = None
+    # Super level (groups of SUPER_GROUP consecutive entries, (NS, 8) union
+    # AABBs): the per-RAY cull level of the pair-stream traversal
+    # (accel/raystream.py) used when n_entries is large.
+    supers: Array = None
 
     @property
     def chunk(self) -> int:
@@ -111,6 +115,34 @@ class PallasTris(NamedTuple):
     @property
     def n_entries(self) -> int:
         return self.boxes.shape[0]
+
+    @property
+    def n_supers(self) -> int:
+        return self.supers.shape[0]
+
+
+SUPER_GROUP = 16
+
+
+def build_supers(boxes: np.ndarray) -> np.ndarray:
+    """Union AABBs over groups of SUPER_GROUP consecutive entries. Entries
+    are BVH-DFS ordered (static) / instance-scanline ordered (animated), so
+    consecutive groups are spatially coherent."""
+    b = np.asarray(boxes)
+    ne = b.shape[0]
+    ns = -(-ne // SUPER_GROUP)
+    out = np.zeros((ns, 8), np.float32)
+    for g in range(ns):
+        sl = b[g * SUPER_GROUP:(g + 1) * SUPER_GROUP]
+        valid = sl[:, 6] > 0.5
+        if valid.any():
+            out[g, 0:3] = sl[valid, 0:3].min(axis=0)
+            out[g, 3:6] = sl[valid, 3:6].max(axis=0)
+            out[g, 6] = 1.0
+        else:
+            out[g, 0:3] = T_FAR
+            out[g, 3:6] = -T_FAR
+    return out
 
 
 def _morton_order(cent: np.ndarray) -> np.ndarray:
@@ -254,6 +286,7 @@ def build_pallas_tris(geom: Geometry, chunk: int = DEFAULT_CHUNK,
         entry_chunk=jnp.arange(nc, dtype=jnp.int32),
         entry_inst=jnp.full((nc,), -1, jnp.int32),
         inst_trs=jnp.zeros((1, 24), jnp.float32),
+        supers=jnp.asarray(build_supers(boxes)),
     )
 
 
@@ -379,13 +412,15 @@ def extend_pallas_instanced(static_pt: PallasTris, positions, tri_vidx,
         e_chunk.append(blas_chunk_ids[bid])
         e_inst.append(np.full((n_bc,), i, np.int32))
 
+    boxes_all = np.concatenate(e_box, axis=0)
     return PallasTris(
         tris=jnp.asarray(np.concatenate(all_tris, axis=0)),
-        boxes=jnp.asarray(np.concatenate(e_box, axis=0)),
+        boxes=jnp.asarray(boxes_all),
         remap=jnp.asarray(np.concatenate(all_remap, axis=0)),
         entry_chunk=jnp.asarray(np.concatenate(e_chunk, axis=0)),
         entry_inst=jnp.asarray(np.concatenate(e_inst, axis=0)),
         inst_trs=jnp.asarray(inst_trs),
+        supers=jnp.asarray(build_supers(boxes_all)),
     )
 
 
