@@ -99,14 +99,12 @@ class PallasTris(NamedTuple):
     entry_chunk: Array = None
     entry_inst: Array = None
     inst_trs: Array = None
-    # Super level (groups of SUPER_GROUP consecutive entries, (NS, 8) union
-    # AABBs): the per-RAY cull level of the pair-stream traversal
-    # (accel/raystream.py) used when n_entries is large.
-    supers: Array = None
 
     @property
     def chunk(self) -> int:
-        return self.tris.shape[-1] // 5
+        # remap has one slot per (chunk, lane); tris' minor dim may be
+        # padded past 5*chunk to a 128-multiple for DMA alignment.
+        return self.remap.shape[0] // self.tris.shape[0]
 
     @property
     def n_chunks(self) -> int:
@@ -116,33 +114,12 @@ class PallasTris(NamedTuple):
     def n_entries(self) -> int:
         return self.boxes.shape[0]
 
-    @property
-    def n_supers(self) -> int:
-        return self.supers.shape[0]
 
-
-SUPER_GROUP = 16
-
-
-def build_supers(boxes: np.ndarray) -> np.ndarray:
-    """Union AABBs over groups of SUPER_GROUP consecutive entries. Entries
-    are BVH-DFS ordered (static) / instance-scanline ordered (animated), so
-    consecutive groups are spatially coherent."""
-    b = np.asarray(boxes)
-    ne = b.shape[0]
-    ns = -(-ne // SUPER_GROUP)
-    out = np.zeros((ns, 8), np.float32)
-    for g in range(ns):
-        sl = b[g * SUPER_GROUP:(g + 1) * SUPER_GROUP]
-        valid = sl[:, 6] > 0.5
-        if valid.any():
-            out[g, 0:3] = sl[valid, 0:3].min(axis=0)
-            out[g, 3:6] = sl[valid, 3:6].max(axis=0)
-            out[g, 6] = 1.0
-        else:
-            out[g, 0:3] = T_FAR
-            out[g, 3:6] = -T_FAR
-    return out
+def _pad128(w: int) -> int:
+    """Chunk-table rows are DMA'd whole; Mosaic requires the minor dim be a
+    multiple of the 128-lane tile. 5*chunk is padded up with zero columns
+    (inert: zero geometry fails the |den| test)."""
+    return -(-w // 128) * 128
 
 
 def _morton_order(cent: np.ndarray) -> np.ndarray:
@@ -163,10 +140,14 @@ def _morton_order(cent: np.ndarray) -> np.ndarray:
 
 
 def _bvh_chunk_order(bvh, chunk: int) -> list[np.ndarray]:
-    """Cut the BVH into DFS-ordered treelet pieces of <= chunk prims, then
-    greedily pack consecutive pieces into chunks. Returns a list of arrays of
-    *triangle ids* (prim_order already applied). Works for SBVH trees with
-    duplicated references (spatial splits)."""
+    """Cut the BVH into chunks at MAXIMAL subtrees with <= chunk prims
+    (canonical treelets). Each chunk is one subtree, so its AABB is tight by
+    construction — never merge pieces across subtree boundaries: a previous
+    greedy cross-piece packer produced ~25% of chunks whose boxes spanned
+    the whole scene (DFS pops cross major splits), collapsing every cull
+    level above them. Returns a list of arrays of *triangle ids*
+    (prim_order already applied). Works for SBVH trees with duplicated
+    references (spatial splits)."""
     left = np.asarray(bvh.node_left)
     right = np.asarray(bvh.node_right)
     prim_order = np.asarray(bvh.prim_order)
@@ -191,28 +172,34 @@ def _bvh_chunk_order(bvh, chunk: int) -> list[np.ndarray]:
                 st.append(left[p])
         return out
 
-    pieces: list[list[int]] = []
+    # Chunk boxes come from the subtree NODE boxes, not the member
+    # triangles' vertices: SBVH spatial splits duplicate references with
+    # CHOPPED bounds (SBVH.h chopped/splitBounds), so a chunk holding a
+    # chopped ref of a large triangle must claim only the chopped region —
+    # the full-triangle box would span the scene and defeat every cull
+    # level. Conservative-correct: every surface point is covered by the
+    # subtree whose chopped ref contains it, and chunks still test the full
+    # triangle (extra coverage only ever yields valid closer hits).
+    nmin = np.asarray(bvh.node_min)
+    nmax = np.asarray(bvh.node_max)
+    chunks: list[np.ndarray] = []
+    boxes: list[np.ndarray] = []
     stack = [0]
     while stack:
         ptr = stack.pop()
         if ptr < 0:
-            pieces.append([-ptr - 1])
+            # Bare leaf ref directly under an over-full node: no node box of
+            # its own; fall back to the full triangle's box (rare at
+            # chunk >= 32).
+            chunks.append(prim_order[np.asarray([-ptr - 1], np.int64)])
+            boxes.append(None)
         elif count[ptr] <= chunk:
-            pieces.append(collect(ptr))
+            chunks.append(prim_order[np.asarray(collect(ptr), np.int64)])
+            boxes.append(np.concatenate([nmin[ptr], nmax[ptr]]))
         else:
             stack.append(right[ptr])
             stack.append(left[ptr])
-
-    chunks: list[np.ndarray] = []
-    cur: list[int] = []
-    for piece in pieces:
-        if cur and len(cur) + len(piece) > chunk:
-            chunks.append(prim_order[np.asarray(cur, np.int64)])
-            cur = []
-        cur.extend(piece)
-    if cur:
-        chunks.append(prim_order[np.asarray(cur, np.int64)])
-    return chunks
+    return chunks, boxes
 
 
 def build_pallas_tris(geom: Geometry, chunk: int = DEFAULT_CHUNK,
@@ -223,8 +210,9 @@ def build_pallas_tris(geom: Geometry, chunk: int = DEFAULT_CHUNK,
     tri = np.asarray(geom.tri_vidx)
     t = len(tri)
 
+    chunk_boxes = None
     if bvh is not None and t >= 2:
-        chunk_tris = _bvh_chunk_order(bvh, chunk)
+        chunk_tris, chunk_boxes = _bvh_chunk_order(bvh, chunk)
     else:
         if t > 1:
             p0c = pos[tri[:, 0]]
@@ -243,10 +231,13 @@ def build_pallas_tris(geom: Geometry, chunk: int = DEFAULT_CHUNK,
         k = len(ids)
         slot_tri[c, :k] = ids
         slot_valid[c, :k] = True
-        pts = pos[tri[ids].reshape(-1)]
         if k:
-            boxes[c, 0:3] = pts.min(axis=0)
-            boxes[c, 3:6] = pts.max(axis=0)
+            if chunk_boxes is not None and chunk_boxes[c] is not None:
+                boxes[c, 0:6] = chunk_boxes[c]
+            else:
+                pts = pos[tri[ids].reshape(-1)]
+                boxes[c, 0:3] = pts.min(axis=0)
+                boxes[c, 3:6] = pts.max(axis=0)
             boxes[c, 6] = 1.0
 
     flat_tri = slot_tri.reshape(-1)
@@ -278,6 +269,11 @@ def build_pallas_tris(geom: Geometry, chunk: int = DEFAULT_CHUNK,
     tris = tris.reshape(nc, chunk, ROWS, 5).transpose(0, 2, 3, 1).reshape(
         nc, ROWS, 5 * chunk
     )
+    wpad = _pad128(5 * chunk)
+    if wpad != 5 * chunk:
+        tris = np.concatenate(
+            [tris, np.zeros((nc, ROWS, wpad - 5 * chunk), np.float32)],
+            axis=2)
     remap = np.where(v, flat_tri, -1).astype(np.int32)
     return PallasTris(
         tris=jnp.asarray(tris),
@@ -286,16 +282,14 @@ def build_pallas_tris(geom: Geometry, chunk: int = DEFAULT_CHUNK,
         entry_chunk=jnp.arange(nc, dtype=jnp.int32),
         entry_inst=jnp.full((nc,), -1, jnp.int32),
         inst_trs=jnp.zeros((1, 24), jnp.float32),
-        supers=jnp.asarray(build_supers(boxes)),
     )
 
 
 def chunk_table_rows(pos: np.ndarray, tri: np.ndarray,
-                     chunk_tris: list) -> tuple:
+                     chunk_tris: list, chunk: int = DEFAULT_CHUNK) -> tuple:
     """Shared chunk-table packing: list of triangle-id arrays -> (tris
     (NC,16,5C), local AABBs (NC,6), remap (NC*C,)). Factored out of
     build_pallas_tris so instanced BLAS chunks use identical layout."""
-    chunk = DEFAULT_CHUNK
     nc = len(chunk_tris)
     slot_tri = np.zeros((nc, chunk), np.int64)
     slot_valid = np.zeros((nc, chunk), bool)
@@ -335,6 +329,11 @@ def chunk_table_rows(pos: np.ndarray, tri: np.ndarray,
     tris = tris.reshape(nc, chunk, ROWS, 5).transpose(0, 2, 3, 1).reshape(
         nc, ROWS, 5 * chunk
     )
+    wpad = _pad128(5 * chunk)
+    if wpad != 5 * chunk:
+        tris = np.concatenate(
+            [tris, np.zeros((nc, ROWS, wpad - 5 * chunk), np.float32)],
+            axis=2)
     remap = np.where(v, flat_tri, -1).astype(np.int32)
     return tris, boxes, remap
 
@@ -366,7 +365,8 @@ def extend_pallas_instanced(static_pt: PallasTris, positions, tri_vidx,
             cent = (pos[tv[ids, 0]] + pos[tv[ids, 1]] + pos[tv[ids, 2]]) / 3.0
             ids = ids[_morton_order(cent)]
         pieces = [ids[i:i + chunk] for i in range(0, len(ids), chunk)]
-        tris_b, boxes_b, remap_b = chunk_table_rows(pos, tv, pieces)
+        tris_b, boxes_b, remap_b = chunk_table_rows(pos, tv, pieces,
+                                                    chunk=chunk)
         all_tris.append(tris_b)
         all_remap.append(remap_b)
         local_boxes.append(boxes_b)
@@ -412,15 +412,28 @@ def extend_pallas_instanced(static_pt: PallasTris, positions, tri_vidx,
         e_chunk.append(blas_chunk_ids[bid])
         e_inst.append(np.full((n_bc,), i, np.int32))
 
+    # Morton-order the instanced entries by world box center: instances are
+    # recorded in author order (scanline, or a random animated subset), so
+    # consecutive entries — and hence the 16-entry supers built over them —
+    # would otherwise span the whole scene.
+    n_static_e = e_box[0].shape[0]
     boxes_all = np.concatenate(e_box, axis=0)
+    e_chunk_all = np.concatenate(e_chunk, axis=0)
+    e_inst_all = np.concatenate(e_inst, axis=0)
+    tail = slice(n_static_e, boxes_all.shape[0])
+    if boxes_all[tail].shape[0] > 1:
+        cent = 0.5 * (boxes_all[tail, 0:3] + boxes_all[tail, 3:6])
+        order = _morton_order(cent)
+        boxes_all[tail] = boxes_all[tail][order]
+        e_chunk_all[tail] = e_chunk_all[tail][order]
+        e_inst_all[tail] = e_inst_all[tail][order]
     return PallasTris(
         tris=jnp.asarray(np.concatenate(all_tris, axis=0)),
         boxes=jnp.asarray(boxes_all),
         remap=jnp.asarray(np.concatenate(all_remap, axis=0)),
-        entry_chunk=jnp.asarray(np.concatenate(e_chunk, axis=0)),
-        entry_inst=jnp.asarray(np.concatenate(e_inst, axis=0)),
+        entry_chunk=jnp.asarray(e_chunk_all),
+        entry_inst=jnp.asarray(e_inst_all),
         inst_trs=jnp.asarray(inst_trs),
-        supers=jnp.asarray(build_supers(boxes_all)),
     )
 
 
@@ -1056,7 +1069,7 @@ def _run_kernel(wl, wtn, cnt, boxes, echunk, einst, itrs, rays, tris, chunk,
             ],
             out_specs=out_specs,
             scratch_shapes=[
-                pltpu.VMEM((2, ROWS, 5 * chunk), jnp.float32),
+                pltpu.VMEM((2, ROWS, _pad128(5 * chunk)), jnp.float32),
                 pltpu.VMEM((ROWS, rb), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
@@ -1081,7 +1094,7 @@ def _run_kernel(wl, wtn, cnt, boxes, echunk, einst, itrs, rays, tris, chunk,
         ],
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((2, ROWS, 5 * chunk), jnp.float32),
+            pltpu.VMEM((2, ROWS, _pad128(5 * chunk)), jnp.float32),
             pltpu.VMEM((ROWS, rb), jnp.float32),
             pltpu.SMEM((ne_pad // 128, 128), jnp.int32),
             pltpu.SMEM((ne_pad // 128, 128), jnp.float32),
@@ -1116,7 +1129,7 @@ def _run_kernel_any(wl, wtn, cnt, boxes, echunk, einst, itrs, rays, tris,
             ],
             out_specs=[pl.BlockSpec((1, 1, rb), lambda i, *_: (i, 0, 0))],
             scratch_shapes=[
-                pltpu.VMEM((2, ROWS, 5 * chunk), jnp.float32),
+                pltpu.VMEM((2, ROWS, _pad128(5 * chunk)), jnp.float32),
                 pltpu.VMEM((ROWS, rb), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
@@ -1141,7 +1154,7 @@ def _run_kernel_any(wl, wtn, cnt, boxes, echunk, einst, itrs, rays, tris,
         ],
         out_specs=[pl.BlockSpec((1, 1, rb), lambda i, *_: (i, 0, 0))],
         scratch_shapes=[
-            pltpu.VMEM((2, ROWS, 5 * chunk), jnp.float32),
+            pltpu.VMEM((2, ROWS, _pad128(5 * chunk)), jnp.float32),
             pltpu.VMEM((ROWS, rb), jnp.float32),
             pltpu.SMEM((ne_pad // 128, 128), jnp.int32),
             pltpu.SMEM((ne_pad // 128, 128), jnp.float32),

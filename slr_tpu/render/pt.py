@@ -79,34 +79,19 @@ def scene_intersect(scene: FlatScene, o: Array, d: Array,
         "cpu", "gpu"
     ):
         from ..accel.pallas_intersect import intersect_pallas
-        from ..accel.raystream import PAIR_THRESHOLD, intersect_pairs
 
-        pt_tab = scene.pallas_tris
-        big = (pt_tab.n_entries > PAIR_THRESHOLD
-               and pt_tab.supers is not None)
         if scene.instances is not None:
             # The instanced kernel covers static + instanced geometry in
             # one traversal (entries carry (chunk, instance) pairs and the
             # ray block is transformed in-kernel at each lane's shutter
             # fraction) — no XLA two-level while_loop on the TPU path.
             f_ = jnp.zeros(o.shape[:1], jnp.float32) if f is None else f
-            if big:
-                # Pair-stream per-ray ordered traversal (accel/raystream.py)
-                # for high entry counts — the RTC3 class.
-                return intersect_pairs(
-                    geom, pt_tab, o, d, tmin, tmax, active=active, f=f_,
-                    instances=scene.instances,
-                )
             return intersect_pallas(
-                geom, pt_tab, o, d, tmin, tmax, active=active,
+                geom, scene.pallas_tris, o, d, tmin, tmax, active=active,
                 f=f_, instances=scene.instances,
             )
-        if big:
-            hit = intersect_pairs(geom, pt_tab, o, d, tmin, tmax,
-                                  active=active)
-        else:
-            hit = intersect_pallas(geom, pt_tab, o, d, tmin, tmax,
-                                   active=active)
+        hit = intersect_pallas(geom, scene.pallas_tris, o, d, tmin, tmax,
+                               active=active)
     elif scene.plucker is not None:
         from ..accel.plucker import intersect_plucker
 
@@ -258,17 +243,12 @@ def scene_occluded(scene: FlatScene, o: Array, d: Array, tmin, tmax,
         "cpu", "gpu"
     ):
         from ..accel.pallas_intersect import anyhit_pallas
-        from ..accel.raystream import PAIR_THRESHOLD, anyhit_pairs
 
-        pt_tab = scene.pallas_tris
         f_ = (jnp.zeros(o.shape[:1], jnp.float32) if f is None else f) \
             if scene.instances is not None else None
         # The instanced kernel's entries cover the BLAS tail, so one
         # any-hit call answers the whole two-level query.
-        if pt_tab.n_entries > PAIR_THRESHOLD and pt_tab.supers is not None:
-            return anyhit_pairs(scene.geometry, pt_tab, o, d, tmin, tmax,
-                                active=active, f=f_)
-        return anyhit_pallas(scene.geometry, pt_tab, o, d, tmin,
+        return anyhit_pallas(scene.geometry, scene.pallas_tris, o, d, tmin,
                              tmax, active=active, f=f_)
     return scene_intersect(scene, o, d, tmin, tmax, f).mask
 

@@ -66,19 +66,53 @@ def scene():
     return flatten(sc, use_bvh=True)
 
 
-def test_blas_shared_not_duplicated(scene):
-    # 2 static triangles + ONE shared 2-triangle BLAS for both instances.
-    assert scene.n_static == 2
-    assert scene.geometry.num_tris == 4
-    assert scene.instances is not None and scene.instances.num == 2
+def test_static_instances_baked_animated_shared(scene):
+    # Static instance r1 is BAKED into world-space static geometry at build
+    # (the reference's own static-transform flattening, nodes.cpp:110-171);
+    # only the animated instance r2 keeps a TransformedSurfaceObject-style
+    # row over the shared BLAS.
+    assert scene.n_static == 4          # 2 static + 2 baked from r1
+    assert scene.geometry.num_tris == 6  # + 2 local BLAS tris for r2
+    assert scene.instances is not None and scene.instances.num == 1
 
 
 def test_static_instance_hit(scene):
+    # Baked static instance: hit at the instanced position, inst == -1.
     o = jnp.asarray(np.float32([[2, 0, 5]]))
     d = jnp.asarray(np.float32([[0, 0, -1]]))
     h = scene_intersect(scene, o, d, f=jnp.zeros((1,), jnp.float32))
     assert bool(h.mask[0]) and abs(float(h.t[0]) - 5.0) < 1e-3
-    assert int(h.inst[0]) >= 0
+    assert int(h.inst[0]) == -1
+
+
+def test_static_instance_unflattened_hit():
+    """With flattening disabled, static instances ride the in-kernel
+    (chunk, instance) entries and report their instance id."""
+    from slr_tpu.scene.build import SceneBuilder
+    from slr_tpu.scene.presets import uv_sphere
+
+    b = SceneBuilder()
+    mat = b.add_matte(b.add_stex_const((0.5, 0.5, 0.5)))
+    g = np.float32([[-3, 0, -3], [3, 0, -3], [3, 0, 3]])
+    b.add_mesh(g, np.tile(np.float32([0, 1, 0]), (3, 1)),
+               np.tile(np.float32([1, 0, 0]), (3, 1)),
+               np.zeros((3, 2), np.float32),
+               np.array([[0, 1, 2]], np.int32), mat)
+    bid = b.begin_blas()
+    p, n, t, u, tris = uv_sphere((0.0, 0.0, 0.0), 0.5, 6, 10)
+    b.add_mesh(p, n, t, u, tris, mat)
+    b.end_blas()
+    m = np.eye(4, dtype=np.float32)
+    m[1, 3] = 2.0
+    b.add_instance(bid, m)
+    b.set_camera_perspective(np.eye(4, dtype=np.float32), 1.0, 0.5)
+    flat = b.build(flatten_static_instances=False)
+    assert flat.instances is not None and flat.instances.num == 1
+    o = jnp.asarray(np.float32([[0, 2, 5]]))
+    d = jnp.asarray(np.float32([[0, 0, -1]]))
+    h = scene_intersect(flat, o, d, f=jnp.zeros((1,), jnp.float32))
+    assert bool(h.mask[0]) and abs(float(h.t[0]) - 4.5) < 0.05
+    assert int(h.inst[0]) == 0
 
 
 def test_motion_interpolation(scene):
@@ -185,10 +219,39 @@ def test_emissive_instance_tail_raises():
     bid = b.begin_blas()
     b.add_mesh(pos, nrm, tan, uv, tri, mat)
     b.end_blas()
-    b.add_instance(bid, np.eye(4, dtype=np.float32))
+    # ANIMATED emissive instance: cannot be baked, must raise.
+    m1 = np.eye(4, dtype=np.float32)
+    m1[0, 3] = 1.0
+    b.add_instance(bid, np.eye(4, dtype=np.float32), m1)
     b.set_camera_perspective(np.eye(4, dtype=np.float32), 1.0, 0.5)
     with pytest.raises(ValueError, match="emissive"):
         b.build(use_bvh=False)
+
+
+def test_emissive_static_instance_bakes_to_light():
+    """A STATIC emissive instance is baked into the static prefix at build,
+    so its triangles become legal NEE lights (new in round 4: static
+    instance flattening, the reference's nodes.cpp:110-171 semantics)."""
+    from slr_tpu.scene.build import SceneBuilder
+
+    b = SceneBuilder()
+    em = b.add_stex_const((5.0, 5.0, 5.0))
+    mat = b.add_emitter(b.add_matte(b.add_stex_const((0.5, 0.5, 0.5))), em)
+    pos = np.array([[-1, -1, 0], [1, -1, 0], [1, 1, 0]], np.float32)
+    nrm = np.tile(np.float32([0, 0, 1]), (3, 1))
+    tan = np.tile(np.float32([1, 0, 0]), (3, 1))
+    uv = np.zeros((3, 2), np.float32)
+    tri = np.array([[0, 1, 2]], np.int32)
+    b.add_mesh(pos, nrm, tan, uv, tri, b.add_matte(
+        b.add_stex_const((0.5, 0.5, 0.5))))
+    bid = b.begin_blas()
+    b.add_mesh(pos, nrm, tan, uv, tri, mat)
+    b.end_blas()
+    b.add_instance(bid, np.eye(4, dtype=np.float32))
+    b.set_camera_perspective(np.eye(4, dtype=np.float32), 1.0, 0.5)
+    flat = b.build(use_bvh=False)
+    assert flat.instances is None
+    assert int(flat.lights.tri_idx.shape[0]) == 1
 
 
 def test_grass_field_preset_renders():
@@ -199,8 +262,11 @@ def test_grass_field_preset_renders():
     from slr_tpu.render.pt import render
 
     scene = grass_field(n_side=8, animated_fraction=0.25)
-    assert scene.instances is not None and scene.instances.num == 64
-    assert scene.pallas_tris.n_entries == 1 + 64  # static chunk + per-inst
+    # Static blades are baked; only the animated share stays instanced.
+    assert scene.instances is not None
+    n_anim = int(scene.instances.num)
+    assert 0 < n_anim < 64
+    assert scene.pallas_tris.n_entries > n_anim  # treelet chunks + per-inst
     img = np.asarray(render(scene, 32, 24, spp=2, max_depth=4, seed=1))
     assert np.isfinite(img).all()
     assert (img.sum(axis=-1) > 0).mean() > 0.1

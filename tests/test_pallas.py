@@ -219,77 +219,3 @@ class TestInstancedKernel:
         occ_o = np.asarray(mask_o) & (np.asarray(t_o) <= 3.0 * (1 + 1e-6))
         agree = np.asarray(occ) == occ_o
         assert agree.mean() > 0.995, agree.mean()  # tmax boundary ties
-
-
-class TestPairStream:
-    """The pair-stream per-ray ordered traversal (accel/raystream.py) vs the
-    block-worklist kernel on the same tables — same hits, including
-    instanced/animated entries and occlusion queries. Reference semantics:
-    ordered per-ray descent, SBVH.h:417-442."""
-
-    @pytest.fixture(scope="class")
-    def field_scene(self):
-        from slr_tpu.scene.presets import grass_field
-
-        return grass_field(n_side=8, blade_segments=3,
-                           animated_fraction=0.5)
-
-    def test_closest_matches_block_kernel(self, field_scene):
-        from slr_tpu.accel.raystream import intersect_pairs
-
-        s = field_scene
-        n = 512
-        o, d = _rand_rays(n, seed=21)
-        o = o * jnp.float32(0.4) + jnp.float32([0.0, 0.6, 0.0])
-        f = jnp.asarray(np.random.RandomState(5).uniform(0, 1, n),
-                        jnp.float32)
-        hp = intersect_pairs(s.geometry, s.pallas_tris, o, d, f=f,
-                             instances=s.instances, interpret=True)
-        hb = intersect_pallas(s.geometry, s.pallas_tris, o, d, f=f,
-                              instances=s.instances, interpret=True)
-        np.testing.assert_array_equal(np.asarray(hp.mask),
-                                      np.asarray(hb.mask))
-        m = np.asarray(hb.mask)
-        np.testing.assert_allclose(np.asarray(hp.t)[m],
-                                   np.asarray(hb.t)[m], rtol=2e-5,
-                                   atol=2e-5)
-        np.testing.assert_array_equal(np.asarray(hp.tri)[m],
-                                      np.asarray(hb.tri)[m])
-        np.testing.assert_array_equal(np.asarray(hp.inst)[m],
-                                      np.asarray(hb.inst)[m])
-
-    def test_anyhit_matches_block_kernel(self, field_scene):
-        from slr_tpu.accel.raystream import anyhit_pairs
-
-        s = field_scene
-        n = 512
-        o, d = _rand_rays(n, seed=23)
-        o = o * jnp.float32(0.4) + jnp.float32([0.0, 0.5, 0.0])
-        f = jnp.asarray(np.random.RandomState(6).uniform(0, 1, n),
-                        jnp.float32)
-        op = anyhit_pairs(s.geometry, s.pallas_tris, o, d, tmax=2.0, f=f,
-                          interpret=True)
-        ob = anyhit_pallas(s.geometry, s.pallas_tris, o, d, tmax=2.0, f=f,
-                           interpret=True)
-        agree = np.asarray(op) == np.asarray(ob)
-        assert agree.mean() > 0.995, agree.mean()
-
-    def test_active_mask_and_static_scene(self):
-        from slr_tpu.scene.presets import cornell_box_spheres
-        from slr_tpu.accel.raystream import intersect_pairs
-
-        s = cornell_box_spheres()
-        n = 256
-        o, d = _rand_rays(n, seed=25)
-        active = jnp.asarray(np.random.RandomState(7).rand(n) > 0.4)
-        hp = intersect_pairs(s.geometry, s.pallas_tris, o, d,
-                             active=active, interpret=True)
-        hb = intersect_pallas(s.geometry, s.pallas_tris, o, d,
-                              active=active, interpret=True)
-        np.testing.assert_array_equal(np.asarray(hp.mask),
-                                      np.asarray(hb.mask))
-        assert not np.asarray(hp.mask)[~np.asarray(active)].any()
-        m = np.asarray(hb.mask)
-        np.testing.assert_allclose(np.asarray(hp.t)[m],
-                                   np.asarray(hb.t)[m], rtol=2e-5,
-                                   atol=2e-5)
