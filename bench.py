@@ -62,6 +62,17 @@ def main() -> None:
     # one closest-hit and one NEE shadow cast per lane.
     mrays = n_pix * iters * 2 / dt / 1e6
 
+    # Secondary metric: the reference's own working resolution (1024x768,
+    # Cornell_Box_Spheres.txt) — the r3 large-frame regression row. Lanes
+    # auto-cap at DEFAULT_LANE_CAP so the wavefront state stays HBM-resident.
+    bw, bh, bspp = 1024, 768, 8
+    img_l = render_wavefront(scene, bw, bh, spp=1)
+    img_l.block_until_ready()
+    t0 = time.perf_counter()
+    img_l = render_wavefront(scene, bw, bh, spp=bspp, seed=1)
+    img_l.block_until_ready()
+    ksamples_1024 = bw * bh * bspp / (time.perf_counter() - t0) / 1e3
+
     # Secondary metric: RTC3-class instanced scene (4096 grass-blade
     # instances x 26 local tris = ~106k effective triangles, 25% animated
     # for motion blur) through the instanced Pallas kernel — the workload
@@ -97,6 +108,7 @@ def main() -> None:
                 "unit": "ksamples/s",
                 "vs_baseline": round(ksamples / BASELINE_KSAMPLES, 3),
                 "mrays_per_s": round(mrays, 3),
+                "ksamples_1024x768": round(ksamples_1024, 3),
                 "bpt_ksamples_per_s": round(bpt_ksamples, 3),
                 "rtc3_instanced_ksamples_per_s": round(rtc3_ksamples, 3),
             }

@@ -427,6 +427,16 @@ def _run_wavefront(scene: FlatScene, n_pix: int, spp_end, seed, width, height,
     return state.film[:n_pix], state.n_iters
 
 
+# Lane-count cap: lanes are decoupled from pixels by the dynamic work
+# queue, and the per-iteration state (sort keys, gathers, film scatters)
+# stops scaling once every block is full of useful work — past ~256k lanes
+# the working set thrashes HBM bandwidth and large frames REGRESS (r3: 1108
+# ks/s at 1024x768 vs 1308 at 256x192). Swept on TPU v5e (BASELINE.md):
+# 1024x768 throughput peaks ~49-65k lanes (1171 ks/s) and falls to 442
+# ks/s at 786k lanes.
+DEFAULT_LANE_CAP = 49152
+
+
 def render_wavefront(
     scene: FlatScene,
     width: int,
@@ -437,15 +447,18 @@ def render_wavefront(
     sample_offset: int = 0,
     return_iters: bool = False,
     sort_rays: bool = True,
+    n_lanes: int | None = None,
 ):
     """Drop-in replacement for pt.render with regeneration scheduling.
     Returns (H, W, S) mean linear radiance (develop with render/film.py)."""
     from ..spectrum.spectral import strata_to_rgb
 
     n_pix = width * height
+    if n_lanes is None:
+        n_lanes = min(n_pix, DEFAULT_LANE_CAP)
     film, n_iters = _run_wavefront(
         scene, n_pix, spp + sample_offset, seed, width, height,
-        sample_offset, max_depth, sort_rays=sort_rays)
+        sample_offset, max_depth, n_lanes=n_lanes, sort_rays=sort_rays)
     film = (film / spp).reshape(height, width, -1)
     if scene.stex.spectral:
         film = strata_to_rgb(film)
