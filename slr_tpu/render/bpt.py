@@ -118,19 +118,24 @@ def _gn_sn(v: Vertices, i: int) -> Array:
     )
 
 
-def _sorted_cast(scene, o, d, active, lambdas_unused=None):
+def _sorted_cast(scene, o, d, active, f=None):
     """Closest-hit with a coherence sort applied ONLY around the kernel:
     rays are permuted by (active, octant, origin Morton) so terminated
     lanes pack into skippable blocks and worklists shorten, then the Hit is
     un-permuted — the path state itself stays in lane order (subpath
-    vertex tables must keep lane identity across steps)."""
+    vertex tables must keep lane identity across steps). `f` is the per-ray
+    shutter fraction (BPT cpp:104: one time sample per pixel sample)."""
     from ..core.permute import permute_rows, unpermute_rows
     from .pt import _ray_sort_key, scene_intersect_alpha
 
     key = _ray_sort_key(scene, o, d, active)
     order = jnp.argsort(key)
-    o_s, d_s, act_s = permute_rows((o, d, active), order)
-    hit = scene_intersect_alpha(scene, o_s, d_s, active=act_s)
+    if f is None:
+        o_s, d_s, act_s = permute_rows((o, d, active), order)
+        f_s = None
+    else:
+        o_s, d_s, act_s, f_s = permute_rows((o, d, active, f), order)
+    hit = scene_intersect_alpha(scene, o_s, d_s, f=f_s, active=act_s)
     fields = (hit.t, hit.tri, hit.b0, hit.b1, hit.mask) + (
         () if hit.inst is None else (hit.inst,))
     out = unpermute_rows(fields, order)
@@ -139,7 +144,7 @@ def _sorted_cast(scene, o, d, active, lambdas_unused=None):
                      inst=None if hit.inst is None else out[5])
 
 
-def _sorted_occluded(scene, o, d, tmax, active):
+def _sorted_occluded(scene, o, d, tmax, active, f=None):
     """Occlusion query with the same sort-around-the-kernel treatment."""
     from ..accel.intersect import RAY_EPSILON
     from ..core.permute import permute_rows, unpermute_rows
@@ -147,8 +152,14 @@ def _sorted_occluded(scene, o, d, tmax, active):
 
     key = _ray_sort_key(scene, o, d, active)
     order = jnp.argsort(key)
-    o_s, d_s, tmax_s, act_s = permute_rows((o, d, tmax, active), order)
-    occ = scene_occluded(scene, o_s, d_s, RAY_EPSILON, tmax_s, active=act_s)
+    if f is None:
+        o_s, d_s, tmax_s, act_s = permute_rows((o, d, tmax, active), order)
+        f_s = None
+    else:
+        o_s, d_s, tmax_s, act_s, f_s = permute_rows(
+            (o, d, tmax, active, f), order)
+    occ = scene_occluded(scene, o_s, d_s, RAY_EPSILON, tmax_s, f=f_s,
+                         active=act_s)
     return unpermute_rows((occ,), order)[0]
 
 
@@ -170,9 +181,13 @@ def _generate_subpath(
     lambdas,
     max_verts: int,
     bounce_offset: int,
+    f_time: Array | None = None,
 ):
     """Trace a subpath (generateSubPath, BPT cpp:261-349). Returns
-    (list of per-vertex pytrees, s0_data list for the eye path)."""
+    (list of per-vertex pytrees, s0_data list for the eye path). `f_time`
+    is the per-lane shutter fraction threaded through every cast (the
+    reference samples one time per pixel sample and passes it to
+    intersect/testVisibility, BPT cpp:104,126,148,201)."""
     r = o.shape[0]
     s_dim = alpha0.shape[-1]
     steps = []
@@ -192,8 +207,8 @@ def _generate_subpath(
 
     for i in range(max_verts):
         bounce_id = jnp.uint32(bounce_offset + i)
-        hit = _sorted_cast(scene, ray_o, ray_d, active)
-        sp = resolve_sp(scene, hit, ray_o, ray_d)
+        hit = _sorted_cast(scene, ray_o, ray_d, active, f=f_time)
+        sp = resolve_sp(scene, hit, ray_o, ray_d, f=f_time)
         ok = active & hit.mask
         # Escaped active eye rays become implicit env-sphere vertices
         # (atInfinity hit, BPT cpp:311-314): they contribute the s=0 env term
@@ -451,6 +466,14 @@ def bpt_batch(
         hero = jnp.minimum((u_wl * s_dim).astype(jnp.int32), s_dim - 1)
         select_wl_pdf = 1.0
 
+    # One shutter-time sample per pixel sample (BPT cpp:104), threaded
+    # through subpath generation AND connection visibility so animated/
+    # instanced scenes get motion blur from every strategy.
+    if scene.instances is not None:
+        f_time = rng.uniform(seed, pid_c, sample_id, 0, Decision.TIME)
+    else:
+        f_time = None
+
     # Deferred film writes: own-pixel contributions accumulate into a dense
     # per-lane buffer (strata binning is linear and all of a lane's
     # contributions share its wavelength set, so one bin + one scatter at
@@ -585,7 +608,7 @@ def bpt_batch(
         scene, l_ray_o, l_ray_d, l_alpha1, edf_pdf, cos_first,
         jnp.zeros((r,), bool), l_ray_o, True, seed, pid_c, sample_id, hero,
         jnp.zeros((r,), bool), lambdas, max_light_verts - 1,
-        _LIGHT_BOUNCE_OFFSET,
+        _LIGHT_BOUNCE_OFFSET, f_time=f_time,
     )
     # light vertex 0 reverse pdfs from the first bounce
     if l_zero is not None:
@@ -696,7 +719,7 @@ def bpt_batch(
     e_steps, s0_info, e_zero = _generate_subpath(
         scene, lens_p, e_ray_d, e_alpha1, we_dir_pdf, dir_local[..., 2],
         jnp.zeros((r,), bool), lens_p, False, seed, pid_c, sample_id, hero,
-        jnp.zeros((r,), bool), lambdas, max_eye_verts - 1, 0,
+        jnp.zeros((r,), bool), lambdas, max_eye_verts - 1, 0, f_time=f_time,
     )
     if e_zero is not None:
         upd, rev_area, rev_rr = e_zero
@@ -749,8 +772,9 @@ def bpt_batch(
         d_b = jnp.concatenate([rec[0][1] for rec in recs], axis=0)
         tmax_b = jnp.concatenate([rec[0][2] for rec in recs], axis=0)
         act_b = jnp.concatenate([rec[0][3] for rec in recs], axis=0)
+        f_b = None if f_time is None else jnp.tile(f_time, n_l)
         vis = jnp.logical_not(
-            _sorted_occluded(scene, o_b, d_b, tmax_b, act_b)
+            _sorted_occluded(scene, o_b, d_b, tmax_b, act_b, f=f_b)
         ).reshape(n_l, r)
         for k, (_, contribution, valid, splat_pix, own) in enumerate(recs):
             film = film_add(film, splat_pix, contribution,

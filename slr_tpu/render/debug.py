@@ -12,9 +12,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..accel.intersect import resolve_surface_point
 from ..camera.perspective import sample_camera_rays
-from ..render.pt import scene_intersect
+from ..render.pt import resolve_sp, scene_intersect
 from ..scene.types import FlatScene
 
 
@@ -28,7 +27,12 @@ class AOVs(NamedTuple):
     uv: jnp.ndarray         # (H, W, 2)
 
 
-def render_aovs(scene: FlatScene, width: int, height: int) -> AOVs:
+def render_aovs(scene: FlatScene, width: int, height: int,
+                time_f: float = 0.5) -> AOVs:
+    """First-hit AOV pass (DebugRenderer.cpp:161-190). Animated/instanced
+    scenes are sampled at shutter fraction `time_f` (mid-shutter by
+    default — the reference's DebugRenderer samples a time per pixel,
+    cpp:167; a deterministic AOV pass wants one fixed time instead)."""
     n_pix = width * height
     pixel_id = jnp.arange(n_pix, dtype=jnp.uint32)
     px = (pixel_id % width).astype(jnp.float32) + 0.5
@@ -36,8 +40,12 @@ def render_aovs(scene: FlatScene, width: int, height: int) -> AOVs:
     half = jnp.full((n_pix,), 0.5, jnp.float32)
     rays = sample_camera_rays(scene.camera, px, py, width, height, half, half)
 
-    hit = scene_intersect(scene, rays.o, rays.d)
-    sp = resolve_surface_point(scene.geometry, hit, rays.o, rays.d)
+    f = (jnp.full((n_pix,), time_f, jnp.float32)
+         if scene.instances is not None else None)
+    hit = scene_intersect(scene, rays.o, rays.d, f=f)
+    # resolve_sp applies the instance transform at `f` to the shading frame
+    # (TransformedSurfaceObject::getSurfacePoint, SurfaceObject.cpp:329-336).
+    sp = resolve_sp(scene, hit, rays.o, rays.d, f=f)
 
     def img3(x):
         return jnp.where(hit.mask[:, None], x, 0.0).reshape(height, width, 3)

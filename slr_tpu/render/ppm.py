@@ -95,7 +95,8 @@ def _pss_dims(max_bounces: int) -> int:
 
 def _trace_hitpoints(scene: FlatScene, width: int, height: int,
                      seed: Array, iteration: Array, spectral_s: int,
-                     max_specular: int = 4) -> HitPoints:
+                     max_specular: int = 4,
+                     f_iter: Array | None = None) -> HitPoints:
     """Eye pass: one ray per pixel, followed through delta interactions
     until the first non-delta surface (the reference distributes hitpoints
     the same way before each photon wave)."""
@@ -115,8 +116,10 @@ def _trace_hitpoints(scene: FlatScene, width: int, height: int,
     direct = jnp.zeros((n_pix, spectral_s), jnp.float32)
     settled = jnp.zeros((n_pix,), bool)
 
-    hit = scene_intersect_alpha(scene, o, d)
-    sp = resolve_sp(scene, hit, o, d)
+    f_px = (None if f_iter is None
+            else jnp.broadcast_to(f_iter, (n_pix,)))
+    hit = scene_intersect_alpha(scene, o, d, f=f_px)
+    sp = resolve_sp(scene, hit, o, d, f=f_px)
     le = emitted_radiance(scene, sp.mat_id, sp.uv, dot(-d, sp.sn), None)
     direct = direct + jnp.where(hit.mask[:, None], alpha * le, 0.0)
     alive = hit.mask
@@ -144,8 +147,8 @@ def _trace_hitpoints(scene: FlatScene, width: int, height: int,
         new_d = frame_from_local(fx, fy, fz, smp.wi)
         ok = extend & (smp.pdf > 0)
 
-        new_hit = scene_intersect_alpha(scene, sp.p, new_d)
-        new_sp = resolve_sp(scene, new_hit, sp.p, new_d)
+        new_hit = scene_intersect_alpha(scene, sp.p, new_d, f=f_px)
+        new_sp = resolve_sp(scene, new_hit, sp.p, new_d, f=f_px)
         le2 = emitted_radiance(scene, new_sp.mat_id, new_sp.uv,
                                dot(-new_d, new_sp.sn), None)
         step = ok & new_hit.mask
@@ -174,7 +177,8 @@ class Photons(NamedTuple):
 
 
 def _trace_photons_pss(scene: FlatScene, u: Array, spectral_s: int,
-                       max_bounces: int) -> Photons:
+                       max_bounces: int,
+                       f_iter: Array | None = None) -> Photons:
     """Trace one photon path per row of the PSS matrix `u` (P, D), depositing
     at every non-delta surface hit. Deterministic in `u` — the requirement
     for MCMC in primary sample space."""
@@ -195,9 +199,11 @@ def _trace_photons_pss(scene: FlatScene, u: Array, spectral_s: int,
 
     deposits = []
     path_idx = jnp.arange(p_cnt, dtype=jnp.int32)
+    f_p = (None if f_iter is None
+           else jnp.broadcast_to(f_iter, (p_cnt,)))
     for b in range(max_bounces):
-        hit = scene_intersect_alpha(scene, o, d)
-        sp = resolve_sp(scene, hit, o, d)
+        hit = scene_intersect_alpha(scene, o, d, f=f_p)
+        sp = resolve_sp(scene, hit, o, d, f=f_p)
         ok = alive & hit.mask
         lobes = gather_lobes(scene, sp.mat_id, sp.uv, sp.p, None)
         nondelta = bsdf_has_nondelta(lobes)
@@ -332,7 +338,18 @@ def ppm_iteration(scene: FlatScene, state: PPMState, width: int, height: int,
     """One progressive pass: distribute hitpoints, trace a photon wave
     (uniform + adaptive chains), gather, update per-pixel statistics."""
     s = 3  # RGB photon mapping (spectral gathering not yet supported)
-    hp = _trace_hitpoints(scene, width, height, seed, iteration, s)
+    # One shared shutter-time sample per progressive pass: hitpoints and
+    # photons of a wave must see the SAME scene state (a photon deposited at
+    # time t1 cannot illuminate a hitpoint at t2); averaging passes over
+    # iterations integrates the shutter. Reference analogue: AMCMCPPM's
+    # per-sample time (the reference renderer family is time-aware).
+    if scene.instances is not None:
+        f_iter = rng.uniform(seed, jnp.uint32(0),
+                             iteration.astype(jnp.uint32), 0, Decision.TIME)
+    else:
+        f_iter = None
+    hp = _trace_hitpoints(scene, width, height, seed, iteration, s,
+                          f_iter=f_iter)
 
     # --- photon PSS matrices ------------------------------------------------
     d_dim = _pss_dims(max_bounces)
@@ -355,7 +372,8 @@ def ppm_iteration(scene: FlatScene, state: PPMState, width: int, height: int,
     else:
         u_all = u_uniform
 
-    ph = _trace_photons_pss(scene, u_all, s, max_bounces)
+    ph = _trace_photons_pss(scene, u_all, s, max_bounces,
+                            f_iter=f_iter)
 
     # --- hash grid over current radii --------------------------------------
     r_max = jnp.sqrt(jnp.max(jnp.where(hp.valid, state.r2, 0.0)))
