@@ -199,7 +199,30 @@ def _bvh_chunk_order(bvh, chunk: int) -> list[np.ndarray]:
         else:
             stack.append(right[ptr])
             stack.append(left[ptr])
-    return chunks, boxes
+
+    # Bounded-growth packing: merge CONSECUTIVE (DFS-adjacent) small pieces
+    # while the union box stays within 1.5x the larger piece's diagonal —
+    # recovers chunk fill (canonical cuts alone average ~50%) without ever
+    # re-creating the scene-spanning chunks the unbounded greedy packer
+    # produced.
+    merged_c: list[np.ndarray] = []
+    merged_b: list = []
+    for ids, box in zip(chunks, boxes):
+        if (box is not None and merged_c and merged_b[-1] is not None
+                and len(merged_c[-1]) + len(ids) <= chunk):
+            pb = merged_b[-1]
+            lo = np.minimum(pb[0:3], box[0:3])
+            hi = np.maximum(pb[3:6], box[3:6])
+            d_new = float(np.linalg.norm(hi - lo))
+            d_max = max(float(np.linalg.norm(pb[3:6] - pb[0:3])),
+                        float(np.linalg.norm(box[3:6] - box[0:3])))
+            if d_new <= 1.5 * max(d_max, 1e-12):
+                merged_c[-1] = np.concatenate([merged_c[-1], ids])
+                merged_b[-1] = np.concatenate([lo, hi])
+                continue
+        merged_c.append(ids)
+        merged_b.append(None if box is None else box.copy())
+    return merged_c, merged_b
 
 
 def build_pallas_tris(geom: Geometry, chunk: int = DEFAULT_CHUNK,
@@ -458,23 +481,26 @@ def _chunk_worklist(rays: Array, boxes: Array
     tmaxr = rays[:, 11, :]
     inv = 1.0 / jnp.where(jnp.abs(d) < 1e-20,
                           jnp.where(d >= 0, 1e-20, -1e-20), d)
-    tn = jnp.full((nb, rb, nc), -T_FAR, jnp.float32)
-    tf = jnp.full((nb, rb, nc), T_FAR, jnp.float32)
+    # Layout (NB, NC, RB): the MINOR dim must be the 256-lane ray axis —
+    # an (…, NC) minor at NC ~ 16-64 pads every vector op to 128 lanes
+    # (measured 5 ms -> ~1 ms for the whole build at the parity scene).
+    tn = jnp.full((nb, nc, rb), -T_FAR, jnp.float32)
+    tf = jnp.full((nb, nc, rb), T_FAR, jnp.float32)
     for a in range(3):
-        lo = boxes[:, a][None, None, :]
-        hi = boxes[:, 3 + a][None, None, :]
-        t0 = (lo - o[:, a, :, None]) * inv[:, a, :, None]
-        t1 = (hi - o[:, a, :, None]) * inv[:, a, :, None]
+        lo = boxes[:, a][None, :, None]
+        hi = boxes[:, 3 + a][None, :, None]
+        t0 = (lo - o[:, a, None, :]) * inv[:, a, None, :]
+        t1 = (hi - o[:, a, None, :]) * inv[:, a, None, :]
         tn = jnp.maximum(tn, jnp.minimum(t0, t1))
         tf = jnp.minimum(tf, jnp.maximum(t0, t1))
     ok = (
         (tn <= tf)
-        & (tf >= tminr[:, :, None])
-        & (tn <= tmaxr[:, :, None])
-        & (boxes[:, 6][None, None, :] > 0.5)
+        & (tf >= tminr[:, None, :])
+        & (tn <= tmaxr[:, None, :])
+        & (boxes[:, 6][None, :, None] > 0.5)
     )
-    blk = jnp.any(ok, axis=1)                              # (NB, NC)
-    tn_blk = jnp.min(jnp.where(ok, tn, T_FAR), axis=1)     # (NB, NC)
+    blk = jnp.any(ok, axis=2)                              # (NB, NC)
+    tn_blk = jnp.min(jnp.where(ok, tn, T_FAR), axis=2)     # (NB, NC)
     key = jnp.where(blk, tn_blk, jnp.inf)
     order = jnp.argsort(key, axis=1).astype(jnp.int32)
     near = jnp.minimum(jnp.sort(key, axis=1), T_FAR)

@@ -15,7 +15,10 @@ import jax.numpy as jnp
 
 def unpermute_rows(tree, order):
     """Inverse of permute_rows(tree, order) WITHOUT materializing the
-    inverse permutation: one packed row scatter (out[order[i]] = in[i])."""
+    inverse permutation: one packed row scatter (out[order[i]] = in[i]).
+    (A gather-by-inverse variant — argsort(order) then packed[inv] —
+    measured ~10% SLOWER end-to-end in the BPT pass: the extra argsort
+    costs more than the scatter saves.)"""
     leaves, treedef = jax.tree.flatten(tree)
     r = order.shape[0]
     cols = []

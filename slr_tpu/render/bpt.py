@@ -423,7 +423,8 @@ def _mis_weight_static(
     return 1.0 / rec
 
 
-@partial(jax.jit, static_argnames=("max_light_verts", "max_eye_verts"))
+@partial(jax.jit, static_argnames=("max_light_verts", "max_eye_verts",
+                                  "pid_contiguous"))
 def bpt_batch(
     scene: FlatScene,
     pixel_id: Array,
@@ -434,9 +435,13 @@ def bpt_batch(
     film: Array,
     max_light_verts: int = 8,
     max_eye_verts: int = 8,
+    pid_contiguous: bool = False,
 ) -> Array:
     """One BPT sample pass for a pixel batch; scatter-adds contributions
-    (including t=1 splats) into `film` (H*W, S) and returns it."""
+    (including t=1 splats) into `film` (H*W, S) and returns it.
+    `pid_contiguous` promises pixel_id is a contiguous in-range arange, so
+    the own-pixel accumulation is a dynamic-slice add instead of a
+    scatter-add (TPU scatter lowers sort-based; ~5 ms/pass saved)."""
     from ..spectrum.spectral import (
         NUM_SPECTRAL_SAMPLES,
         WL_HI,
@@ -496,7 +501,14 @@ def bpt_batch(
         own = own_acc[0]
         if spectral:
             own = bin_to_strata(lambdas, own)
-        film = film.at[pid_c].add(own)
+        if pid_contiguous:
+            start = pid_c[0]
+            cur = jax.lax.dynamic_slice(
+                film, (start, jnp.uint32(0)), (r, film.shape[1]))
+            film = jax.lax.dynamic_update_slice(
+                film, cur + own, (start, jnp.uint32(0)))
+        else:
+            film = film.at[pid_c].add(own)
         if splat_q:
             idx = jnp.concatenate([p for p, _ in splat_q])
             vals = [bin_to_strata(lambdas, v) if spectral else v
@@ -760,7 +772,9 @@ def bpt_batch(
     for t in range(1, n_e + 1):
         # Batch all s-strategies' visibility rays of this t into ONE
         # any-hit cast (the per-(s,t) casts dominated the device profile:
-        # 64 kernel launches with mostly-idle blocks).
+        # 64 kernel launches with mostly-idle blocks; batching ALL t-levels
+        # into one cast measured slightly WORSE — the 3M-lane coherence
+        # sort's gathers outweigh the saved launches).
         recs = [
             _connect(
                 scene, film, lv, ev, s, t, hero, lambdas, spectral, s_dim,
@@ -1046,6 +1060,7 @@ def render_bpt(
             film = bpt_batch(
                 scene, pixel_id, sample_id, seed_j, w_j, h_j, film,
                 max_light_verts, max_eye_verts,
+                pid_contiguous=(b + 1) * batch <= n_pix,
             )
     img = film / spp
     img = img.reshape(height, width, s_film)
