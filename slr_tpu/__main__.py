@@ -126,6 +126,17 @@ def main() -> None:
         # The shipped PT is the persistent-wavefront scheduler at the
         # reference's depth semantics (cap 100 + RR); the fixed-depth
         # pass renderer in render/pt.py remains the differentiable path.
+        # With >1 device the SAME scheduler shards over the mesh (one
+        # renderer at every scale, PathTracingRenderer.cpp:72-81).
+        import jax
+
+        if len(jax.devices()) > 1:
+            from .parallel.mesh import make_mesh, render_wavefront_sharded
+
+            return np.asarray(render_wavefront_sharded(
+                scene, width, height, spp=step, mesh=make_mesh(),
+                seed=rng_seed, max_depth=args.max_depth,
+                sample_offset=offset))
         from .render.wavefront import render_wavefront
 
         return np.asarray(render_wavefront(

@@ -140,6 +140,66 @@ def render_sharded(
     return film[:n_pix].reshape(height, width, s)
 
 
+def render_wavefront_sharded(
+    scene: FlatScene,
+    width: int,
+    height: int,
+    spp: int,
+    mesh: Mesh,
+    seed: int = 0,
+    max_depth: int | None = None,
+    sample_offset: int = 0,
+    n_lanes: int | None = None,
+):
+    """The SHIPPED persistent-wavefront scheduler over the mesh — one
+    renderer at every scale (the reference runs the same PT for all workers,
+    PathTracingRenderer.cpp:72-81). The global (pixel, sample) work space is
+    split into one contiguous slice per device; each shard drains its slice
+    with its own dynamic work queue, lanes and full-frame film, and films
+    reduce with one psum. The counter-based RNG keys by (pixel, sample), so
+    every work item's estimate is bit-identical to the single-chip
+    render_wavefront regardless of shard count (film sums may differ by fp
+    reduction order only). Returns (H, W, S) mean linear radiance."""
+    from ..render.wavefront import (
+        DEFAULT_LANE_CAP,
+        DEFAULT_MAX_DEPTH,
+        _run_wavefront,
+    )
+    from ..spectrum.spectral import strata_to_rgb
+
+    if max_depth is None:
+        max_depth = DEFAULT_MAX_DEPTH
+    n_pix = width * height
+    total = spp * n_pix
+    n_dev = mesh.devices.size
+    per = -(-total // n_dev)
+    lanes = n_lanes or min(per, n_pix, DEFAULT_LANE_CAP)
+    bounds = (jnp.arange(n_dev, dtype=jnp.uint32) * jnp.uint32(per))
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(None, P("tiles")),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def render_shard(scene: FlatScene, lo: jnp.ndarray):
+        lo = lo[0]
+        film, _ = _run_wavefront(
+            scene, n_pix, spp + sample_offset, jnp.uint32(seed),
+            jnp.uint32(width), jnp.uint32(height),
+            jnp.uint32(sample_offset), max_depth, n_lanes=lanes,
+            ranged=True, work_lo=lo, work_hi=lo + jnp.uint32(per),
+        )
+        return jax.lax.psum(film, "tiles")
+
+    film = render_shard(scene, bounds)
+    img = (film / spp).reshape(height, width, -1)
+    if scene.stex.spectral:
+        img = strata_to_rgb(img)
+    return img
+
+
 def render_bpt_sharded(
     scene: FlatScene,
     width: int,
@@ -157,36 +217,40 @@ def render_bpt_sharded(
 
     n_pix = width * height
     n_dev = mesh.devices.size
-    # The splat film is additive with no lane mask, so padded duplicate
-    # lanes would double-count their splats; require divisibility here.
-    assert n_pix % n_dev == 0, "BPT sharding needs n_pix % n_devices == 0"
+    # Arbitrary crops shard fine: padding lanes carry lane_mask=False so
+    # their own-pixel AND splat contributions are zeroed (the reference has
+    # no divisibility constraint; r3 weak #5).
+    n_pad = -(-n_pix // n_dev) * n_dev
     s = _film_channels(scene)
     seed_u = jnp.uint32(seed)
     w_j = jnp.int32(width)
     h_j = jnp.int32(height)
-    ids = jnp.arange(n_pix, dtype=jnp.uint32)
+    ids_all = jnp.arange(n_pad, dtype=jnp.uint32)
+    ids = jnp.minimum(ids_all, n_pix - 1)
+    mask = ids_all < n_pix
 
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(None, P("tiles")),
+        in_specs=(None, P("tiles"), P("tiles")),
         out_specs=P(),
         check_vma=False,
     )
-    def render_shard(scene: FlatScene, pixel_id: jnp.ndarray):
+    def render_shard(scene: FlatScene, pixel_id: jnp.ndarray,
+                     lane_mask: jnp.ndarray):
         film = jnp.zeros((n_pix, s), jnp.float32)
 
         def body(i, film):
             sample_id = jnp.full(pixel_id.shape, i, jnp.uint32)
             return bpt_batch(
                 scene, pixel_id, sample_id, seed_u, w_j, h_j, film,
-                max_light_verts, max_eye_verts,
+                max_light_verts, max_eye_verts, lane_mask=lane_mask,
             )
 
         film = jax.lax.fori_loop(0, spp, body, film)
         return jax.lax.psum(film, "tiles")
 
-    film = render_shard(scene, ids)
+    film = render_shard(scene, ids, mask)
     return (film / spp).reshape(height, width, s)
 
 
@@ -216,5 +280,14 @@ def dryrun(n_devices: int) -> None:
     img_b.block_until_ready()
     assert img_b.shape == (12, 16, 3)
     print(f"dryrun BPT ok; mean={float(img_b.mean()):.5f}")
+
+    # The SHIPPED renderer (persistent wavefront, dynamic work queue,
+    # depth cap 100) over the same mesh — per-shard work-range slices +
+    # film psum.
+    img_w = render_wavefront_sharded(spec, 20, 10, spp=2, mesh=mesh)
+    img_w.block_until_ready()
+    assert img_w.shape == (10, 20, 3)
+    print(f"dryrun wavefront-sharded (spectral) ok; "
+          f"mean={float(img_w.mean()):.5f}")
     print(f"dryrun_multichip ok on {n_devices} devices; "
           f"mean={float(img.mean()):.5f}")

@@ -436,6 +436,7 @@ def bpt_batch(
     max_light_verts: int = 8,
     max_eye_verts: int = 8,
     pid_contiguous: bool = False,
+    lane_mask: Array | None = None,
 ) -> Array:
     """One BPT sample pass for a pixel batch; scatter-adds contributions
     (including t=1 splats) into `film` (H*W, S) and returns it.
@@ -490,6 +491,8 @@ def bpt_batch(
     splat_q: list = []
 
     def film_add(film, pix_idx, contribution, valid, own: bool = True):
+        if lane_mask is not None:
+            valid = valid & lane_mask
         c = jnp.where(valid[:, None], contribution, 0.0)
         if own:
             own_acc[0] = own_acc[0] + c

@@ -159,10 +159,17 @@ def _sample_value(radiance, cam_weight, lambdas, spectral: bool):
 
 
 @partial(jax.jit, static_argnames=("n_pix", "n_lanes", "max_depth",
-                                   "sort_rays"))
+                                   "sort_rays", "ranged"))
 def _run_wavefront(scene: FlatScene, n_pix: int, spp_end, seed, width, height,
                    sample_offset, max_depth: int, n_lanes: int | None = None,
-                   sort_rays: bool = True):
+                   sort_rays: bool = True, ranged: bool = False,
+                   work_lo=0, work_hi=0):
+    """`ranged=True` restricts the dynamic work queue to global work items
+    [work_lo, work_hi) — the multi-chip form: each shard drains its own
+    contiguous slice of the (pixel, sample) work space with its own lanes
+    and film, and films psum at the end (parallel/mesh.py). The
+    counter-based RNG keys by (pixel, sample), so the estimate for every
+    work item is bit-identical regardless of which shard traces it."""
     from ..spectrum.spectral import NUM_SPECTRAL_SAMPLES, NUM_STRATA
 
     spectral = scene.stex.spectral
@@ -175,8 +182,13 @@ def _run_wavefront(scene: FlatScene, n_pix: int, spp_end, seed, width, height,
     sample_offset = jnp.asarray(sample_offset, jnp.uint32)
     spp_end = jnp.asarray(spp_end, jnp.uint32)
     total = (spp_end - sample_offset) * jnp.uint32(n_pix)
+    if ranged:
+        work_lo = jnp.asarray(work_lo, jnp.uint32)
+        total = jnp.minimum(jnp.asarray(work_hi, jnp.uint32), total)
+    else:
+        work_lo = jnp.uint32(0)
 
-    work0 = jnp.arange(r, dtype=jnp.uint32)
+    work0 = work_lo + jnp.arange(r, dtype=jnp.uint32)
     pid0, sid0 = _work_pixel_sample(work0, n_pix, sample_offset)
     rays, hero, lambdas, f_time = _fresh_sample(
         scene, pid0, sid0, seed, width, height, s, spectral)
@@ -201,7 +213,7 @@ def _run_wavefront(scene: FlatScene, n_pix: int, spp_end, seed, width, height,
     )
     state = GlobalState(
         lanes=lanes,
-        counter=jnp.uint32(r),
+        counter=work_lo + jnp.uint32(r),
         film=jnp.zeros((n_pix + 1, s_film), jnp.float32),
         n_iters=jnp.zeros((), jnp.int32),
     )

@@ -122,3 +122,60 @@ def test_scene_sharded_intersection_matches():
                                np.asarray(hit_r.t)[m], rtol=1e-6)
     same_tri = (np.asarray(hit_s.tri)[m] == np.asarray(hit_r.tri)[m])
     assert same_tri.mean() > 0.995  # shared-edge / coplanar ties
+
+
+class TestWavefrontSharded:
+    """The SHIPPED wavefront scheduler over the mesh (VERDICT r3 #6): one
+    renderer at every scale. Per-shard work-range slices + film psum must
+    reproduce the single-device render (RNG keys by (pixel, sample), so
+    sums differ by fp reduction order only)."""
+
+    def test_matches_single_device(self):
+        from slr_tpu.parallel.mesh import make_mesh, render_wavefront_sharded
+        from slr_tpu.render.wavefront import render_wavefront
+        from slr_tpu.scene.presets import cornell_box_spheres
+
+        scene = cornell_box_spheres(sphere_res=6, use_bvh=False)
+        w, h, spp = 20, 16, 4
+        mesh = make_mesh(8)
+        multi = np.asarray(render_wavefront_sharded(
+            scene, w, h, spp=spp, mesh=mesh, seed=3))
+        single = np.asarray(render_wavefront(
+            scene, w, h, spp=spp, seed=3))
+        np.testing.assert_allclose(multi, single, rtol=2e-4, atol=1e-5)
+
+    def test_spectral_and_nondivisible(self):
+        from slr_tpu.parallel.mesh import make_mesh, render_wavefront_sharded
+        from slr_tpu.render.wavefront import render_wavefront
+        from slr_tpu.scene.presets import cornell_box_spheres
+
+        # 21x10 pixels x 3 spp = 630 work items over 8 shards: does not
+        # divide, last shard's range is clipped.
+        scene = cornell_box_spheres(sphere_res=6, use_bvh=False,
+                                    spectral=True)
+        w, h, spp = 21, 10, 3
+        mesh = make_mesh(8)
+        multi = np.asarray(render_wavefront_sharded(
+            scene, w, h, spp=spp, mesh=mesh, seed=1))
+        single = np.asarray(render_wavefront(scene, w, h, spp=spp, seed=1))
+        np.testing.assert_allclose(multi, single, rtol=2e-4, atol=3e-6)
+
+
+class TestBPTShardedPadding:
+    def test_nondivisible_pixels(self):
+        """render_bpt_sharded no longer requires n_pix % n_devices == 0
+        (r3 weak #5): padded lanes are masked, results match the
+        single-device BPT render."""
+        from slr_tpu.parallel.mesh import make_mesh, render_bpt_sharded
+        from slr_tpu.render.bpt import render_bpt
+        from slr_tpu.scene.presets import cornell_box_spheres
+
+        scene = cornell_box_spheres(sphere_res=6, use_bvh=False)
+        w, h = 13, 9   # 117 pixels: not divisible by 8
+        mesh = make_mesh(8)
+        multi = np.asarray(render_bpt_sharded(
+            scene, w, h, spp=2, mesh=mesh, max_light_verts=3,
+            max_eye_verts=3))
+        single = np.asarray(render_bpt(
+            scene, w, h, spp=2, max_light_verts=3, max_eye_verts=3))
+        np.testing.assert_allclose(multi, single, rtol=2e-4, atol=3e-6)
