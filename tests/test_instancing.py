@@ -270,3 +270,37 @@ def test_grass_field_preset_renders():
     img = np.asarray(render(scene, 32, 24, spp=2, max_depth=4, seed=1))
     assert np.isfinite(img).all()
     assert (img.sum(axis=-1) > 0).mean() > 0.1
+
+
+def test_grass_field_golden():
+    """Image-level gate on the instanced/flattened traversal path (VERDICT
+    r3 #8): a traversal-order or transform bug that still shades plausibly
+    must fail here, not pass a finiteness check. Golden = this renderer at
+    the same (seed, spp) — deterministic module apart from fp reassociation,
+    so the tolerance is tight."""
+    from slr_tpu.scene.presets import grass_field
+    from slr_tpu.render.pt import render
+
+    scene = grass_field(n_side=8, blade_segments=3, animated_fraction=0.25)
+    img = np.asarray(render(scene, 48, 36, spp=32, max_depth=5, seed=11))
+    gold = np.load("tests/goldens/grass_field_n8.npz")["img"]
+    np.testing.assert_allclose(img, gold, rtol=1e-3, atol=1e-4)
+
+
+def test_grass_field_pt_bpt_cross_check():
+    """Two independent estimators on the INSTANCED scene must agree —
+    catches traversal/transform bugs that a self-golden alone could bake
+    in. 4x4 block means (pixel-level MC noise is large at these spp)."""
+    from slr_tpu.scene.presets import grass_field
+    from slr_tpu.render.pt import render
+    from slr_tpu.render.bpt import render_bpt
+
+    scene = grass_field(n_side=8, blade_segments=3, animated_fraction=0.25)
+    w, h = 32, 24
+    pt = np.asarray(render(scene, w, h, spp=48, max_depth=4, seed=2))
+    bpt = np.asarray(render_bpt(scene, w, h, spp=48, seed=2,
+                                max_light_verts=4, max_eye_verts=4))
+    def blocks(x):
+        return x.reshape(h // 8, 8, w // 8, 8, 3).mean(axis=(1, 3))
+    np.testing.assert_allclose(blocks(bpt), blocks(pt), rtol=0.25,
+                               atol=5e-3)
