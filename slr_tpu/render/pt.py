@@ -393,10 +393,17 @@ def trace_radiance(
     return radiance
 
 
-@partial(jax.jit, static_argnames=("max_depth",))
-def trace_radiance_spectral(scene, o, d, pixel_id, sample_id, seed, max_depth=16):
-    """Spectral variant returning (radiance (R, N), lambdas (R, N))."""
-    return _trace_core(scene, o, d, pixel_id, sample_id, seed, max_depth)
+@partial(jax.jit,
+         static_argnames=("max_depth", "cast_fns", "resolve_fn"))
+def trace_radiance_spectral(scene, o, d, pixel_id, sample_id, seed,
+                            max_depth=16, cast_fns=None, resolve_fn=None):
+    """Spectral variant returning (radiance (R, N), lambdas (R, N)).
+    `cast_fns=(intersect_fn, occluded_fn)` swaps the accelerator casts and
+    `resolve_fn` the surface-point resolution — the scene-sharded render
+    path (parallel/scene_shard.py) routes them through mesh-partitioned
+    chunk AND shading tables."""
+    return _trace_core(scene, o, d, pixel_id, sample_id, seed, max_depth,
+                       cast_fns=cast_fns, resolve_fn=resolve_fn)
 
 
 def _trace_core(
@@ -408,8 +415,15 @@ def _trace_core(
     seed,
     max_depth: int,
     sort_rays: bool = False,
+    cast_fns=None,
+    resolve_fn=None,
 ):
     from ..spectrum.spectral import NUM_SPECTRAL_SAMPLES, sample_wavelengths
+
+    isect_fn, occl_fn = (cast_fns if cast_fns is not None
+                         else (scene_intersect_alpha, scene_occluded))
+    if resolve_fn is None:
+        resolve_fn = resolve_sp
 
     r = o.shape[0]
     spectral = scene.stex.spectral
@@ -436,8 +450,8 @@ def _trace_core(
     else:
         f_time = None
 
-    hit = scene_intersect_alpha(scene, o, d, f=f_time)
-    sp = resolve_sp(scene, hit, o, d, f=f_time)
+    hit = isect_fn(scene, o, d, f=f_time)
+    sp = resolve_fn(scene, hit, o, d, f=f_time)
 
     alpha = jnp.ones((r, s), jnp.float32)
     radiance = jnp.zeros((r, s), jnp.float32)
@@ -526,7 +540,7 @@ def _trace_core(
 
         # Only lanes that will use the NEE estimate cast a shadow ray; the
         # rest opt out at block granularity inside the kernel.
-        vis = jnp.logical_not(scene_occluded(
+        vis = jnp.logical_not(occl_fn(
             scene, sp.p, shadow_dir, RAY_EPSILON, shadow_tmax, f=f_time,
             active=state.active & nondelta,
         ))
@@ -633,9 +647,9 @@ def _trace_core(
             )
 
         # --- Next intersection ------------------------------------------
-        hit = scene_intersect_alpha(scene, new_o, new_d, f=f_time,
-                                    active=sample_ok)
-        sp_next = resolve_sp(scene, hit, new_o, new_d, f=f_time)
+        hit = isect_fn(scene, new_o, new_d, f=f_time,
+                       active=sample_ok)
+        sp_next = resolve_fn(scene, hit, new_o, new_d, f=f_time)
         still = sample_ok & hit.mask
 
         # Implicit emitter hit with MIS (PathTracingRenderer.cpp:232-249).

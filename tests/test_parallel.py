@@ -179,3 +179,53 @@ class TestBPTShardedPadding:
         single = np.asarray(render_bpt(
             scene, w, h, spp=2, max_light_verts=3, max_eye_verts=3))
         np.testing.assert_allclose(multi, single, rtol=2e-4, atol=3e-6)
+
+
+class TestSceneShardedRender:
+    """Scene sharding wired into RENDERING (VERDICT r3 #7): kernel chunk
+    tables AND shading rows partitioned by range over the 8-device mesh,
+    every cast + surface resolve routed through the partitioned tables,
+    end-to-end image matches the replicated single-device render."""
+
+    def test_render_matches_replicated(self):
+        from slr_tpu.parallel.mesh import make_mesh
+        from slr_tpu.parallel.scene_shard import (
+            render_pt_scene_sharded, shard_chunk_tables, shard_tri_rows)
+        from slr_tpu.render.pt import render
+        from slr_tpu.scene.presets import cornell_box_spheres
+
+        scene = cornell_box_spheres(sphere_res=8, use_bvh=True)
+        mesh = make_mesh(8)
+        w, h, spp = 20, 16, 3
+        sharded = np.asarray(render_pt_scene_sharded(
+            scene, mesh, w, h, spp=spp, seed=5, max_depth=4))
+        ref = np.asarray(render(scene, w, h, spp=spp, seed=5, max_depth=4))
+        np.testing.assert_allclose(sharded, ref, rtol=2e-4, atol=1e-5)
+
+        # Per-device table budget really is ~1/N of the whole scene:
+        pt_tab = shard_chunk_tables(scene.pallas_tris, 8)
+        per_dev_kernel = pt_tab.tris.nbytes // 8
+        assert per_dev_kernel <= scene.pallas_tris.tris.nbytes // 8 + \
+            pt_tab.tris.shape[1] * pt_tab.tris.shape[2] * 4
+        rows, per = shard_tri_rows(scene.geometry.tri_table, 8)
+        assert per <= -(-scene.geometry.tri_table.shape[0] // 8)
+
+    def test_anyhit_matches(self):
+        from slr_tpu.parallel.mesh import make_mesh
+        from slr_tpu.parallel.scene_shard import occluded_scene_sharded
+        from slr_tpu.render.pt import scene_occluded
+        from slr_tpu.scene.presets import cornell_box_spheres
+        import jax.numpy as jnp
+
+        scene = cornell_box_spheres(sphere_res=8, use_bvh=True)
+        mesh = make_mesh(8)
+        rs = np.random.RandomState(3)
+        n = 512
+        o = jnp.asarray(rs.uniform(-0.8, 0.8, (n, 3)).astype(np.float32))
+        d = rs.normal(size=(n, 3)).astype(np.float32)
+        d = jnp.asarray(d / np.linalg.norm(d, axis=1, keepdims=True))
+        occ_s = np.asarray(occluded_scene_sharded(
+            scene, mesh, o, d, 1e-4, 2.0))
+        occ_r = np.asarray(scene_occluded(scene, o, d, 1e-4, 2.0))
+        agree = (occ_s == occ_r).mean()
+        assert agree > 0.995, agree
