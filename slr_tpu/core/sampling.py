@@ -248,3 +248,17 @@ def power_heuristic(f: Array, g: Array) -> Array:
     f2 = f * f
     g2 = g * g
     return jnp.where(f2 + g2 > 0, f2 / jnp.maximum(f2 + g2, 1e-38), 0.0)
+
+
+def export_continuous_2d_bmp(dist: Continuous2D, path: str) -> None:
+    """Dump the 2D importance table as a grayscale BMP — the reference's
+    RegularConstantContinuous2D::exportBMP debug aid (distributions.h:132,
+    distributions.cpp:227): per-texel pdf normalized to [0, 1]."""
+    import numpy as np
+
+    from ..render.film import save_bmp
+
+    pdf = np.asarray(dist.cond_pdf) * np.asarray(dist.marg_pdf)[:, None]
+    mx = pdf.max()
+    img = pdf / mx if mx > 0 else pdf
+    save_bmp(path, np.repeat(img[..., None], 3, axis=-1))

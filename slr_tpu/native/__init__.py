@@ -60,6 +60,7 @@ def get_lib():
             ctypes.c_int, ctypes.c_float, ctypes.c_int,  # spatial, alpha, max_refs
             f32p, f32p, i32p, i32p, i32p,            # node arrays, prim_order
             i32p, f32p,                              # stats, sah_cost
+            ctypes.c_void_p,                         # prim_cost (nullable)
         ]
         _lib = lib
     return _lib
@@ -87,6 +88,7 @@ def sbvh_build(
     spatial: bool = True,
     alpha: float = 1e-5,
     budget: float = 2.0,
+    prim_cost: np.ndarray | None = None,
 ) -> SBVHResult | None:
     """Binned-SAH / spatial-split SBVH over triangles (Stich2009; reference
     libSLR/Accelerator/SBVH.h:57-348). Host-side one-time build. Returns None
@@ -107,9 +109,12 @@ def sbvh_build(
     prim_order = np.empty((max_refs,), np.int32)
     stats = np.zeros((3,), np.int32)
     sah = np.zeros((1,), np.float32)
+    pc = (None if prim_cost is None
+          else np.ascontiguousarray(prim_cost, np.float32))
     rc = lib.slr_sbvh_build(
         p0, p1, p2, n, int(spatial), float(alpha), max_refs,
         node_min, node_max, node_left, node_right, prim_order, stats, sah,
+        None if pc is None else pc.ctypes.data,
     )
     if rc == 2:
         return None

@@ -72,6 +72,12 @@ struct AABB {
 struct Ref {
   int tri;
   AABB box;
+  // Per-primitive intersection cost (Surface::costForIntersect,
+  // SBVH.h leaf/split cost model). Uniform kIsectCost when the caller
+  // passes no table — all reference Surface types report a constant, so
+  // the uniform model is exact for pure-triangle scenes; the hook exists
+  // for mixed-cost primitive sets.
+  float cost;
 };
 
 struct Node {
@@ -165,11 +171,13 @@ struct Builder {
       float inv = kObjBins / (chi - clo);
       AABB bin_box[kObjBins];
       int bin_cnt[kObjBins] = {0};
+      float bin_cost[kObjBins] = {0.f};
       for (const Ref& r : refs) {
         int b = (int)((r.box.centroid()[axis] - clo) * inv);
         b = std::min(std::max(b, 0), kObjBins - 1);
         bin_box[b].grow(r.box);
         bin_cnt[b]++;
+        bin_cost[b] += r.cost;
       }
       AABB right[kObjBins];
       AABB acc;
@@ -179,13 +187,17 @@ struct Builder {
       }
       AABB lacc;
       int lcnt = 0;
+      float lcost = 0.f, total_cost = 0.f;
+      for (int i = 0; i < kObjBins; ++i) total_cost += bin_cost[i];
       for (int i = 0; i < kObjBins - 1; ++i) {
         lacc.grow(bin_box[i]);
         lcnt += bin_cnt[i];
+        lcost += bin_cost[i];
         int rcnt = n - lcnt;
+        float rcost = total_cost - lcost;
         if (lcnt == 0 || rcnt == 0) continue;
-        float cost = kTravCost + kIsectCost *
-            (lacc.sa() * lcnt + right[i + 1].sa() * rcnt) / sa_parent;
+        float cost = kTravCost +
+            (lacc.sa() * lcost + right[i + 1].sa() * rcost) / sa_parent;
         if (cost < best_obj_cost) {
           best_obj_cost = cost;
           best_obj_axis = axis;
@@ -214,6 +226,7 @@ struct Builder {
         float inv = 1.f / width;
         AABB bin_box[kSpatialBins];
         int bin_enter[kSpatialBins] = {0}, bin_exit[kSpatialBins] = {0};
+        float cost_enter[kSpatialBins] = {0.f}, cost_exit[kSpatialBins] = {0.f};
         for (const Ref& r : refs) {
           int b0 = (int)((r.box.lo[axis] - lo) * inv);
           int b1 = (int)((r.box.hi[axis] - lo) * inv);
@@ -221,6 +234,8 @@ struct Builder {
           b1 = std::min(std::max(b1, 0), kSpatialBins - 1);
           bin_enter[b0]++;
           bin_exit[b1]++;
+          cost_enter[b0] += r.cost;
+          cost_exit[b1] += r.cost;
           if (b0 == b1) {
             bin_box[b0].grow(r.box);
           } else {
@@ -241,13 +256,17 @@ struct Builder {
         }
         AABB lacc;
         int lcnt = 0, rcnt = n;
+        float lcost = 0.f, rcost = 0.f;
+        for (int i = 0; i < kSpatialBins; ++i) rcost += cost_enter[i];
         for (int i = 0; i < kSpatialBins - 1; ++i) {
           lacc.grow(bin_box[i]);
           lcnt += bin_enter[i];
           rcnt -= bin_exit[i];
+          lcost += cost_enter[i];
+          rcost -= cost_exit[i];
           if (lcnt == 0 || rcnt == 0) continue;
-          float cost = kTravCost + kIsectCost *
-              (lacc.sa() * lcnt + right[i + 1].sa() * rcnt) / sa_parent;
+          float cost = kTravCost +
+              (lacc.sa() * lcost + right[i + 1].sa() * rcost) / sa_parent;
           if (cost < best_sp_cost) {
             best_sp_cost = cost;
             best_sp_axis = axis;
@@ -351,7 +370,7 @@ int slr_sbvh_build(const float* p0, const float* p1, const float* p2, int n,
                    int enable_spatial, float alpha, int max_refs,
                    float* node_min, float* node_max, int* node_left,
                    int* node_right, int* prim_order, int* stats,
-                   float* sah_cost) {
+                   float* sah_cost, const float* prim_cost) {
   if (n < 2 || max_refs < n) return 2;
   Builder b;
   b.p0 = p0;
@@ -372,6 +391,7 @@ int slr_sbvh_build(const float* p0, const float* p1, const float* p2, int n,
     box.grow(b.tri_v(i, 1));
     box.grow(b.tri_v(i, 2));
     refs[i].box = box;
+    refs[i].cost = prim_cost ? prim_cost[i] : kIsectCost;
     root.grow(box);
   }
   b.root_sa = std::max(root.sa(), 1e-30f);
@@ -395,7 +415,9 @@ int slr_sbvh_build(const float* p0, const float* p1, const float* p2, int n,
   stats[0] = (int)b.nodes.size();
   stats[1] = (int)b.prims.size();
   stats[2] = b.max_depth;
-  *sah_cost = b.sah_cost + kIsectCost * (float)b.prims.size() / (float)n;
+  float leaf_cost = 0.f;
+  for (int id : b.prims) leaf_cost += prim_cost ? prim_cost[id] : kIsectCost;
+  *sah_cost = b.sah_cost + leaf_cost / (float)n;
   return b.budget_hit ? 1 : 0;
 }
 

@@ -188,3 +188,19 @@ class TestRNG:
         assert abs(np.corrcoef(a, c)[0, 1]) < 0.01
         np.testing.assert_allclose(a.mean(), 0.5, atol=0.01)
         np.testing.assert_allclose(a.var(), 1.0 / 12.0, atol=0.01)
+
+
+def test_export_continuous_2d_bmp(tmp_path):
+    """RegularConstantContinuous2D::exportBMP analogue
+    (distributions.cpp:227): the importance table dumps as a valid BMP."""
+    import numpy as np
+    import jax.numpy as jnp
+    from slr_tpu.core.sampling import (build_continuous_2d,
+                                       export_continuous_2d_bmp)
+
+    d = build_continuous_2d(
+        jnp.asarray(np.random.RandomState(0).rand(8, 16).astype(np.float32)))
+    p = str(tmp_path / "dist.bmp")
+    export_continuous_2d_bmp(d, p)
+    data = open(p, "rb").read()
+    assert data[:2] == b"BM" and len(data) > 100

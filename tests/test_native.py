@@ -104,3 +104,30 @@ def test_traversal_matches_brute_force(native_available):
     assert np.allclose(
         np.asarray(hb.t)[both], np.asarray(ht.t)[both], rtol=1e-4, atol=1e-5
     )
+
+
+def test_per_primitive_cost_model():
+    """SBVH.h's per-primitive costForIntersect in the SAH (r2/r3 trivia):
+    a cost table biases splits — a subtree of expensive prims gets
+    isolated earlier, and the reported SAH cost scales with it."""
+    import numpy as np
+    from slr_tpu.native import sbvh_build
+
+    rs = np.random.RandomState(0)
+    n = 256
+    c = rs.uniform(-1, 1, (n, 3)).astype(np.float32)
+    p0 = c
+    p1 = c + rs.uniform(0.01, 0.05, (n, 3)).astype(np.float32)
+    p2 = c + rs.uniform(0.01, 0.05, (n, 3)).astype(np.float32)
+    uniform = sbvh_build(p0, p1, p2)
+    if uniform is None:
+        import pytest
+        pytest.skip("native sbvh unavailable")
+    cost = np.full((n,), 1.0, np.float32)
+    cost[:32] = 50.0
+    weighted = sbvh_build(p0, p1, p2, prim_cost=cost)
+    assert weighted is not None
+    assert weighted.sah_cost > uniform.sah_cost * 1.4
+    # explicit uniform table == default
+    unit = sbvh_build(p0, p1, p2, prim_cost=np.full((n,), 1.0, np.float32))
+    assert abs(unit.sah_cost - uniform.sah_cost) < 1e-3 * uniform.sah_cost
