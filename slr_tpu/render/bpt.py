@@ -112,6 +112,65 @@ def _stack(steps: list, axis=1):
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, axis=axis), *steps)
 
 
+def _prepend_v0(v0: Vertices, steps: Vertices) -> Vertices:
+    """Endpoint vertex + bounce-major scan output (V, R, ...) -> the
+    vertex-major (V + 1, R, ...) table the connection stage indexes/
+    vectorizes over. (Vertex-major so the s axis of the vectorized
+    connection stage IS the leading array axis — no transposes.)"""
+    return jax.tree_util.tree_map(
+        lambda a, b: jnp.concatenate([a[None], b], axis=0), v0, steps)
+
+
+def _tree_at(tree, i: int):
+    """Slice a stacked pytree (e.g. per-vertex LobeBatch) at leading index."""
+    return jax.tree_util.tree_map(lambda x: x[i], tree)
+
+
+def _tree_prepend(first, stacked):
+    """Prepend one (R, ...) pytree as row 0 of a (V, R, ...) stacked tree."""
+    return jax.tree_util.tree_map(
+        lambda a, b: jnp.concatenate([a[None], b], axis=0), first, stacked)
+
+
+def _safe_div(a, b):
+    return a / jnp.where(b <= 0, 1e30, b)
+
+
+def _mis_incremental(v: Vertices, n: int, min_idx: int) -> tuple:
+    """Per-subpath recursive MIS quantities (calculateMISWeight, BPT
+    cpp:353-414, reorganised): the weight walk's inner ratio chains depend
+    only on per-vertex pdf products, so the sum over all "shorten by >= 2"
+    strategies collapses to one recursively-built partial sum per endpoint
+    index — O(V) total instead of O(V) per (s, t) pair (O(V^3) -> O(V^2)
+    for the whole connection stage).
+
+    For a walk that shortens this subpath starting at endpoint k - 1 down to
+    vertex `min_idx` (min 1 on the eye side: the lens vertex is never a
+    strategy; min 0 on the light side), the static code accumulates
+        rec += Zb[k-1] * c1^2 + (c1 c2)^2 * S[k]
+    where c1, c2 are the two connection-dependent boundary ratios and
+        S[k] = Zfull[k-2] + (N[k-3] / D[k-3])^2 * S[k-1],
+        S[min_idx + 2] = Zfull[min_idx],  S[<= min_idx + 1] = 0,
+    with D[i] = areaPDF[i] * RRProb[i], N[i] = revAreaPDF[i] * revRRProb[i],
+    Zb[i] = !delta[i], Zfull[i] = !(delta[i] | delta[i+1]) (adjacent-delta
+    strategy skips, cpp:372-377).
+
+    Returns (D (n,R), Zb (n,R) float, S (n+1,R) stacked by k)."""
+    d_ = v.area_pdf * v.rr_prob
+    zb = jnp.logical_not(v.delta).astype(jnp.float32)
+    n_v = v.rev_area_pdf * v.rev_rr_prob
+    zfull = jnp.logical_not(v.delta[:-1] | v.delta[1:]).astype(jnp.float32)
+    r = d_.shape[1]
+    zero = jnp.zeros((r,), jnp.float32)
+    s_list = [zero] * min(min_idx + 2, n + 1)
+    if min_idx + 2 <= n:
+        s_list.append(zfull[min_idx])
+    for k in range(min_idx + 3, n + 1):
+        f = _safe_div(n_v[k - 3], d_[k - 3])
+        s_list.append(zfull[k - 2] + f * f * s_list[-1])
+    return d_, zb, jnp.stack(s_list, axis=0)
+
+
 def _gn_sn(v: Vertices, i: int) -> Array:
     return frame_to_local(
         v.tangent[:, i], v.bitangent[:, i], v.sn[:, i], v.gn[:, i]
@@ -182,31 +241,35 @@ def _generate_subpath(
     max_verts: int,
     bounce_offset: int,
     f_time: Array | None = None,
+    unroll: int | bool = 1,
 ):
-    """Trace a subpath (generateSubPath, BPT cpp:261-349). Returns
-    (list of per-vertex pytrees, s0_data list for the eye path). `f_time`
+    """Trace a subpath (generateSubPath, BPT cpp:261-349).
+
+    Rolled into ONE `lax.scan` over the bounce axis: the fully-unrolled form
+    compiled to a ~24k-instruction entry computation whose host-side thunk
+    dispatch (through the remote-device tunnel) dominated wall time — the
+    device profile showed every ablation (fake casts, fake gathers, null BSDF
+    evals) leaving wall time unchanged. The scan traces the bounce body once.
+
+    Returns (steps, s0_info, zero_step, lobes) where `steps` is a Vertices
+    pytree with leading axis V (bounce-major), `s0_info` a tuple of stacked
+    (V, ...) arrays for the eye path (None for light paths), `zero_step` the
+    reverse-pdf update for the pre-loop vertex, and `lobes` the per-vertex
+    LobeBatch stacked (V, ...) for reuse by the connection stage. `f_time`
     is the per-lane shutter fraction threaded through every cast (the
     reference samples one time per pixel sample and passes it to
     intersect/testVisibility, BPT cpp:104,126,148,201)."""
     r = o.shape[0]
     s_dim = alpha0.shape[-1]
-    steps = []
-    s0_info = []  # per-vertex data needed for s=0 implicit contributions
 
-    alpha = alpha0
-    dir_pdf = dir_pdf0
-    cos_last = cos_last0
-    delta = delta0
-    active = dir_pdf0 > 0
-    wl_sel = wl_selected0
-    ray_o, ray_d = o, d
-    prev = prev_p
-    rr_prob = jnp.ones((r,), jnp.float32)
+    carry0 = (
+        alpha0, dir_pdf0, cos_last0, delta0, dir_pdf0 > 0, wl_selected0,
+        o, d, prev_p, jnp.ones((r,), jnp.float32),
+    )
 
-    zero_step = None
-
-    for i in range(max_verts):
-        bounce_id = jnp.uint32(bounce_offset + i)
+    def body(carry, bounce_id):
+        (alpha, dir_pdf, cos_last, delta, active, wl_sel, ray_o, ray_d,
+         prev, rr_prob) = carry
         hit = _sorted_cast(scene, ray_o, ray_d, active, f=f_time)
         sp = resolve_sp(scene, hit, ray_o, ray_d, f=f_time)
         ok = active & hit.mask
@@ -275,10 +338,15 @@ def _generate_subpath(
                 ext2 = jnp.where(esc, disc_pdf * cos_last, ext2)
                 contrib = jnp.where(esc[:, None], alpha * env_le, contrib)
                 emit_ok = emit_ok | esc
-            s0_info.append((emit_ok, contrib, ext1, ext2, wl_sel))
+            s0 = (emit_ok, contrib, ext1, ext2, wl_sel)
+        else:
+            s0 = ()
 
         # BSDF sample to extend. Light subpaths sample with the adjoint form
         # (eta^2 flip + wo-based sn-correction, basic_BSDFs.cpp:144-149).
+        # The gathered lobes are ALSO the connection-time DDF closures for
+        # this vertex — kept and returned so _connect never regathers them
+        # (the per-(s,t) regathers were ~2x the whole BPT device profile).
         lobes = gather_lobes(scene, sp.mat_id, sp.uv, sp.p, lambdas)
         uc = rng.uniform(seed, pixel_id, sample_id, bounce_id, Decision.BSDF_COMPONENT)
         u0 = rng.uniform(seed, pixel_id, sample_id, bounce_id, Decision.BSDF_U)
@@ -333,29 +401,52 @@ def _generate_subpath(
             1.0,
         )
         upd = sample_ok & survive
-        if steps:
-            prev_step = steps[-1]
-            steps[-1] = prev_step._replace(
-                rev_area_pdf=jnp.where(upd, rev_area, prev_step.rev_area_pdf),
-                rev_rr_prob=jnp.where(upd, rev_rr, prev_step.rev_rr_prob),
-            )
-        else:
-            zero_step = (upd, rev_area, rev_rr)
 
-        steps.append(step)
+        new_carry = (
+            alpha * weight,
+            new_dir_pdf,
+            cos_in,
+            smp.is_delta,
+            sample_ok & survive,
+            wl_sel_next,
+            sp.p,
+            frame_from_local(sp.tangent, sp.bitangent, sp.sn, smp.wi),
+            sp.p,
+            new_rr,
+        )
+        return new_carry, (step, (upd, rev_area, rev_rr), s0, lobes)
 
-        alpha = alpha * weight
-        active = sample_ok & survive
-        delta = smp.is_delta
-        dir_pdf = new_dir_pdf
-        cos_last = cos_in
-        wl_sel = wl_sel_next
-        prev = sp.p
-        ray_o = sp.p
-        ray_d = frame_from_local(sp.tangent, sp.bitangent, sp.sn, smp.wi)
-        rr_prob = new_rr
+    if max_verts == 0:
+        # Degenerate cap (e.g. max_eye_verts=1: lens vertex only) — emit
+        # empty (0, R, ...) stacked outputs with the body's structure.
+        _, ys_sd = jax.eval_shape(body, carry0, jnp.zeros((), jnp.uint32))
+        steps, _, s0_info, lobes = jax.tree_util.tree_map(
+            lambda sh: jnp.zeros((0,) + sh.shape, sh.dtype), ys_sd)
+        zero_step = (jnp.zeros((r,), bool), jnp.ones((r,), jnp.float32),
+                     jnp.ones((r,), jnp.float32))
+        return steps, (s0_info if s0_info else None), zero_step, lobes
 
-    return steps, s0_info, zero_step
+    bounce_ids = jnp.uint32(bounce_offset) + jnp.arange(
+        max_verts, dtype=jnp.uint32)
+    _, (steps, revs, s0_info, lobes) = jax.lax.scan(
+        body, carry0, bounce_ids, unroll=unroll)
+
+    # Each bounce's reverse pdf/fs belongs to the PREVIOUS vertex
+    # (vtxNextToLast, cpp:341-343): shift the rev stream back by one step.
+    # Bounce 0's entry targets the pre-loop vertex (returned as zero_step);
+    # the final vertex keeps the placeholder ones.
+    upd_s, rev_area_s, rev_rr_s = revs
+    ones_tail = jnp.ones((1, r), jnp.float32)
+    steps = steps._replace(
+        rev_area_pdf=jnp.concatenate(
+            [jnp.where(upd_s[1:], rev_area_s[1:], 1.0), ones_tail], axis=0),
+        rev_rr_prob=jnp.concatenate(
+            [jnp.where(upd_s[1:], rev_rr_s[1:], 1.0), ones_tail], axis=0),
+    )
+    zero_step = (upd_s[0], rev_area_s[0], rev_rr_s[0])
+    if not s0_info:
+        s0_info = None
+    return steps, s0_info, zero_step, lobes
 
 
 def _mis_weight_static(
@@ -492,7 +583,9 @@ def bpt_batch(
 
     def film_add(film, pix_idx, contribution, valid, own: bool = True):
         if lane_mask is not None:
-            valid = valid & lane_mask
+            # Splat batches may be an s-major tiling of the lane axis.
+            valid = valid & jnp.tile(
+                lane_mask, valid.shape[0] // lane_mask.shape[0])
         c = jnp.where(valid[:, None], contribution, 0.0)
         if own:
             own_acc[0] = own_acc[0] + c
@@ -514,8 +607,11 @@ def bpt_batch(
             film = film.at[pid_c].add(own)
         if splat_q:
             idx = jnp.concatenate([p for p, _ in splat_q])
-            vals = [bin_to_strata(lambdas, v) if spectral else v
-                    for _, v in splat_q]
+            vals = [
+                bin_to_strata(
+                    jnp.tile(lambdas, (v.shape[0] // lambdas.shape[0], 1)), v)
+                if spectral else v
+                for _, v in splat_q]
             film = film.at[idx].add(jnp.concatenate(vals, axis=0))
         return film
 
@@ -619,20 +715,19 @@ def bpt_batch(
     )
     cos_o = jnp.where(is_env0, 1.0, jnp.abs(dot(l_ray_d, lp.gn)))
     l_alpha1 = l_v0.alpha * le1 * (cos_o / edf_pdf)[:, None]
-    l_steps, _, l_zero = _generate_subpath(
+    l_steps, _, l_zero, l_lobes = _generate_subpath(
         scene, l_ray_o, l_ray_d, l_alpha1, edf_pdf, cos_first,
         jnp.zeros((r,), bool), l_ray_o, True, seed, pid_c, sample_id, hero,
         jnp.zeros((r,), bool), lambdas, max_light_verts - 1,
         _LIGHT_BOUNCE_OFFSET, f_time=f_time,
     )
     # light vertex 0 reverse pdfs from the first bounce
-    if l_zero is not None:
-        upd, rev_area, rev_rr = l_zero
-        l_v0 = l_v0._replace(
-            rev_area_pdf=jnp.where(upd, rev_area, l_v0.rev_area_pdf),
-            rev_rr_prob=jnp.where(upd, rev_rr, l_v0.rev_rr_prob),
-        )
-    lv = _stack([l_v0] + l_steps)
+    upd, rev_area, rev_rr = l_zero
+    l_v0 = l_v0._replace(
+        rev_area_pdf=jnp.where(upd, rev_area, l_v0.rev_area_pdf),
+        rev_rr_prob=jnp.where(upd, rev_rr, l_v0.rev_rr_prob),
+    )
+    lv = _prepend_v0(l_v0, l_steps)
 
     # ------------------------------------------------------------------
     # Eye subpath (BPT cpp:145-163) — perspective camera.
@@ -731,129 +826,158 @@ def bpt_batch(
     # rigid camera transform; the world-space form crashes the TPU backend
     # compiler — SIGILL in tpu_compile_helper — when fused into this graph).
     e_alpha1 = e_v0.alpha * (jnp.abs(z_l) / we_dir_pdf)[:, None]
-    e_steps, s0_info, e_zero = _generate_subpath(
+    e_steps, s0_info, e_zero, e_lobes = _generate_subpath(
         scene, lens_p, e_ray_d, e_alpha1, we_dir_pdf, dir_local[..., 2],
         jnp.zeros((r,), bool), lens_p, False, seed, pid_c, sample_id, hero,
         jnp.zeros((r,), bool), lambdas, max_eye_verts - 1, 0, f_time=f_time,
     )
-    if e_zero is not None:
-        upd, rev_area, rev_rr = e_zero
-        e_v0 = e_v0._replace(
-            rev_area_pdf=jnp.where(upd, rev_area, e_v0.rev_area_pdf),
-            rev_rr_prob=jnp.where(upd, rev_rr, e_v0.rev_rr_prob),
-        )
-    ev = _stack([e_v0] + e_steps)
+    upd, rev_area, rev_rr = e_zero
+    e_v0 = e_v0._replace(
+        rev_area_pdf=jnp.where(upd, rev_area, e_v0.rev_area_pdf),
+        rev_rr_prob=jnp.where(upd, rev_rr, e_v0.rev_rr_prob),
+    )
+    ev = _prepend_v0(e_v0, e_steps)
+
+    n_l = 1 + l_steps.valid.shape[0]
+    n_e = 1 + e_steps.valid.shape[0]
+    mis_l = _mis_incremental(lv, n_l, 0)
+    mis_e = _mis_incremental(ev, n_e, 1)
 
     # ------------------------------------------------------------------
-    # s = 0 implicit contributions (during eye generation, cpp:286-309).
+    # s = 0 implicit contributions (during eye generation, cpp:286-309),
+    # vectorized over the eye-vertex axis (row i <-> t = i + 2) with the
+    # incremental MIS partial sums (light side empty at s = 0).
     # ------------------------------------------------------------------
-    for i, (emit_ok, contrib, ext1, ext2, wl_sel_i) in enumerate(s0_info):
-        t_count = i + 2  # vertices: v0 (lens) + i+1 surface vertices
-        w = _mis_weight_static(
-            ext1, jnp.ones_like(ext1), ext2, jnp.ones_like(ext2),
-            jnp.zeros_like(ext1), jnp.zeros_like(ext1),
-            jnp.zeros_like(ext1), jnp.zeros_like(ext1),
-            0, t_count,
-            lv.area_pdf, lv.rr_prob, lv.rev_area_pdf, lv.rev_rr_prob, lv.delta,
-            ev.area_pdf, ev.rr_prob, ev.rev_area_pdf, ev.rev_rr_prob, ev.delta,
-        )
-        c = contrib * w[:, None]
-        if spectral:
-            # x N when the hero wavelength was collapsed (cpp:305-306); the
-            # 1/selectWLPDF lives in the eye vertex-0 alpha already.
-            c = jnp.where(wl_sel_i[:, None], c * s_dim, c)
-        film = film_add(film, pid_c, c, emit_ok)
+    emit_ok0, contrib0, ext1_0, ext2_0, wl_sel0 = s0_info
+    d_e, zb_e, s_e = mis_e
+    c1_0 = _safe_div(ext1_0, d_e[1:])
+    c2_0 = _safe_div(ext2_0, d_e[:-1])
+    w0 = 1.0 / (1.0 + zb_e[1:] * c1_0 * c1_0
+                + (c1_0 * c2_0) ** 2 * s_e[2:])
+    c0 = contrib0 * w0[..., None]
+    if spectral:
+        # x N when the hero wavelength was collapsed (cpp:305-306); the
+        # 1/selectWLPDF lives in the eye vertex-0 alpha already.
+        c0 = jnp.where(wl_sel0[..., None], c0 * s_dim, c0)
+    c0 = jnp.where(emit_ok0[..., None], c0, 0.0).sum(axis=0)
+    film = film_add(film, pid_c, c0, jnp.ones((r,), bool))
 
     # ------------------------------------------------------------------
-    # Connections s >= 1, t >= 1 (cpp:165-254).
+    # Connections s >= 1, t >= 1 (cpp:165-254): one vectorized strategy
+    # level per t, all s at once; one batched any-hit cast per t (batching
+    # ALL t-levels into one cast measured WORSE — the 3M-lane coherence
+    # sort's gathers outweigh the saved launches).
     # ------------------------------------------------------------------
-    from ..accel.intersect import RAY_EPSILON
-    from .pt import scene_occluded
-
-    n_l = 1 + len(l_steps)
-    n_e = 1 + len(e_steps)
+    if n_l > 1:
+        row0 = _tree_at(l_lobes, 0)   # dummy closure for the EDF endpoint
+    else:
+        row0 = jax.tree_util.tree_map(
+            lambda x: jnp.zeros(x.shape[1:], x.dtype), l_lobes)
+    lobes_l = _tree_prepend(row0, l_lobes)
     for t in range(1, n_e + 1):
-        # Batch all s-strategies' visibility rays of this t into ONE
-        # any-hit cast (the per-(s,t) casts dominated the device profile:
-        # 64 kernel launches with mostly-idle blocks; batching ALL t-levels
-        # into one cast measured slightly WORSE — the 3M-lane coherence
-        # sort's gathers outweigh the saved launches).
-        recs = [
-            _connect(
-                scene, film, lv, ev, s, t, hero, lambdas, spectral, s_dim,
-                pid_c, width, height, cam, select_wl_pdf, film_add,
+        (o_b, d_b, tmax_b, act_b), contribution, valid, splat_pix, own = \
+            _connect_t(
+                scene, lv, ev, t, hero, lambdas, spectral, s_dim,
+                pid_c, width, height, cam, select_wl_pdf,
+                lobes_l, None if t == 1 else _tree_at(e_lobes, t - 2),
+                mis_l, mis_e,
             )
-            for s in range(1, n_l + 1)
-        ]
-        o_b = jnp.concatenate([rec[0][0] for rec in recs], axis=0)
-        d_b = jnp.concatenate([rec[0][1] for rec in recs], axis=0)
-        tmax_b = jnp.concatenate([rec[0][2] for rec in recs], axis=0)
-        act_b = jnp.concatenate([rec[0][3] for rec in recs], axis=0)
         f_b = None if f_time is None else jnp.tile(f_time, n_l)
         vis = jnp.logical_not(
             _sorted_occluded(scene, o_b, d_b, tmax_b, act_b, f=f_b)
         ).reshape(n_l, r)
-        for k, (_, contribution, valid, splat_pix, own) in enumerate(recs):
-            film = film_add(film, splat_pix, contribution,
-                            valid & vis[k], own=own)
+        ok = valid & vis
+        if own:
+            c_t = jnp.where(ok[..., None], contribution, 0.0).sum(axis=0)
+            film = film_add(film, pid_c, c_t, jnp.ones((r,), bool))
+        else:
+            film = film_add(
+                film, splat_pix,
+                contribution.reshape(n_l * r, s_dim),
+                ok.reshape(n_l * r),
+                own=False,
+            )
     return film_flush(film)
 
 
-def _connect(scene, film, lv, ev, s, t, hero, lambdas, spectral, s_dim,
-             pid_c, width, height, cam, select_wl_pdf, film_add):
+def _connect_t(scene, lv, ev, t, hero, lambdas, spectral, s_dim,
+               pid_c, width, height, cam, select_wl_pdf,
+               lobes_l, e_lobes, mis_l, mis_e):
+    """ALL s-strategies of one eye-vertex level t, vectorized over the
+    leading light-vertex axis (s = row + 1). The per-(s, t) unrolled form
+    paid 64 separate rounds of DDF/pdf/MIS graph per sample; here each t
+    costs two batched DDF evaluations + two pdfs on (n_l * R) lanes and an
+    O(1) MIS combine from the _mis_incremental partial sums.
+
+    Reference semantics per pair: BidirectionalPathTracingRenderer.cpp
+    :165-254 (connection), :353-414 (MIS weight).
+
+    Returns (shadow_query, contribution (n_l, R, S), valid (n_l, R),
+    splat_pix, own) with shadow-query fields flattened (n_l * R,) s-major —
+    identical ray order to the old per-s concatenation."""
     r = pid_c.shape[0]
-    li = s - 1
+    n_l = lv.valid.shape[0]
     ei = t - 1
-    valid = lv.valid[:, li] & ev.valid[:, ei]
+    valid = lv.valid & ev.valid[ei][None]
+
+    # vmap over the s (light-vertex) axis: no reshapes — flattening the
+    # (n_l, R, ...) batches forced physical relayouts of the TPU-tiled
+    # arrays that cost more than the whole connection math.
+    def v_eval(lob_ax, *in_axes):
+        def f(lob, wi, wo, gn, adj):
+            return bsdf_evaluate(lob, wi, wo, gn, hero, adjoint=adj)
+        return jax.vmap(f, in_axes=(lob_ax,) + in_axes + (None,))
+
+    def v_pdf(lob_ax, *in_axes):
+        def f(lob, wi, wo, gn):
+            return bsdf_pdf(lob, wi, wo, gn, hero)
+        return jax.vmap(f, in_axes=(lob_ax,) + in_axes)
+
+    v_imp = jax.vmap(importance, in_axes=(0, None))
 
     # atInfinity light endpoint (env light vertex 0): the "position" is a
     # unit direction; getDirectionFrom returns it with dist2 = 1
     # (geometry.cpp:31-41), and cos_light = |dot(p, -p)| = 1 falls out.
-    at_l = lv.at_inf[:, li]
-    raw = lv.p[:, li] - ev.p[:, ei]
+    at_l = lv.at_inf                                    # (n_l, R)
+    raw = lv.p - ev.p[ei][None]                         # (n_l, R, 3)
     raw2 = jnp.maximum(dot(raw, raw), 1e-12)
-    conn = jnp.where(at_l[:, None], lv.p[:, li], raw)
+    conn = jnp.where(at_l[..., None], lv.p, raw)
     dist2 = jnp.where(at_l, 1.0, raw2)
     conn_dir = conn / jnp.sqrt(
         jnp.maximum(dot(conn, conn), 1e-12)
-    )[:, None]
-    cos_light = jnp.abs(dot(conn_dir, lv.gn[:, li]))
-    cos_eye = jnp.abs(dot(conn_dir, ev.gn[:, ei]))
+    )[..., None]
+    cos_light = jnp.abs(dot(conn_dir, lv.gn))
+    cos_eye = jnp.abs(dot(conn_dir, ev.gn[ei][None]))
     g = cos_eye * cos_light / dist2
 
-    # --- light end DDF -------------------------------------------------
-    l_conn_sn = frame_to_local(
-        lv.tangent[:, li], lv.bitangent[:, li], lv.sn[:, li], -conn_dir
-    )
-    l_gn_sn = _gn_sn(lv, li)
-    if s == 1:
-        # EDF endpoint: DiffuseEDF (value 1/pi above the surface); env lanes
-        # use IBLEDF (value 1/pi, pdf 1/(pi R^2) — IBLEDF.cpp:18-29).
-        upper = l_conn_sn[..., 2] > 0
-        l_ddf = jnp.where(upper[:, None], _INV_PI, 0.0) * jnp.ones((r, s_dim))
-        l_ext1_dir_pdf = jnp.where(upper, l_conn_sn[..., 2] * _INV_PI, 0.0)
-        if scene.has_env:
-            disc_pdf = 1.0 / (jnp.pi * scene.world_radius ** 2)
-            l_ddf = jnp.where(at_l[:, None], _INV_PI, l_ddf)
-            l_ext1_dir_pdf = jnp.where(at_l, disc_pdf, l_ext1_dir_pdf)
-        e_ext2_dir_pdf = jnp.zeros((r,))
-        l_rev_ddf = jnp.zeros((r, s_dim))
-    else:
-        l_lobes = gather_lobes(scene, lv.mat_id[:, li], lv.uv[:, li],
-                               lv.p[:, li], lambdas)
-        wo_l = lv.dir_in_sn[:, li]
-        l_ddf = bsdf_evaluate(l_lobes, wo_l, l_conn_sn, l_gn_sn, hero,
-                              adjoint=True)
-        l_ext1_dir_pdf = bsdf_pdf(l_lobes, wo_l, l_conn_sn, l_gn_sn, hero)
-        e_ext2_dir_pdf = bsdf_pdf(l_lobes, l_conn_sn, wo_l, l_gn_sn, hero)
-        l_rev_ddf = bsdf_evaluate(l_lobes, l_conn_sn, wo_l, l_gn_sn, hero,
-                                  adjoint=False)
+    # --- light end DDF (rows >= 1: BSDF; row 0 overwritten with the EDF
+    # endpoint: DiffuseEDF value 1/pi above the surface, env lanes IBLEDF
+    # value 1/pi pdf 1/(pi R^2) — IBLEDF.cpp:18-29) ----------------------
+    l_conn_sn = frame_to_local(lv.tangent, lv.bitangent, lv.sn, -conn_dir)
+    l_gn_sn = frame_to_local(lv.tangent, lv.bitangent, lv.sn, lv.gn)
+    wo_l = lv.dir_in_sn
+    l_ddf = v_eval(0, 0, 0, 0)(lobes_l, wo_l, l_conn_sn, l_gn_sn, True)
+    l_ext1_dir_pdf = v_pdf(0, 0, 0, 0)(lobes_l, wo_l, l_conn_sn, l_gn_sn)
+    e_ext2_dir_pdf = v_pdf(0, 0, 0, 0)(lobes_l, l_conn_sn, wo_l, l_gn_sn)
+    l_rev_ddf = v_eval(0, 0, 0, 0)(lobes_l, l_conn_sn, wo_l, l_gn_sn, False)
+    upper = l_conn_sn[0, :, 2] > 0
+    l_ddf0 = jnp.where(upper[:, None], _INV_PI, 0.0) * jnp.ones((r, s_dim))
+    l_ext1_dir0 = jnp.where(upper, l_conn_sn[0, :, 2] * _INV_PI, 0.0)
+    if scene.has_env:
+        disc_pdf = 1.0 / (jnp.pi * scene.world_radius ** 2)
+        l_ddf0 = jnp.where(at_l[0][:, None], _INV_PI, l_ddf0)
+        l_ext1_dir0 = jnp.where(at_l[0], disc_pdf, l_ext1_dir0)
+    l_ddf = l_ddf.at[0].set(l_ddf0)
+    l_ext1_dir_pdf = l_ext1_dir_pdf.at[0].set(l_ext1_dir0)
+    e_ext2_dir_pdf = e_ext2_dir_pdf.at[0].set(0.0)
+    l_rev_ddf = l_rev_ddf.at[0].set(0.0)
 
     # --- eye end DDF ----------------------------------------------------
     e_conn_sn = frame_to_local(
-        ev.tangent[:, ei], ev.bitangent[:, ei], ev.sn[:, ei], conn_dir
-    )
-    e_gn_sn = _gn_sn(ev, ei)
+        ev.tangent[ei][None], ev.bitangent[ei][None], ev.sn[ei][None],
+        conn_dir)
+    e_gn_sn = frame_to_local(
+        ev.tangent[ei], ev.bitangent[ei], ev.sn[ei], ev.gn[ei])  # (R, 3)
     if t == 1 and cam.kind == CameraKind.EQUIRECTANGULAR:
         # EquirectangularIDF: evaluate (1 inside the angular window, pdf
         # 1/(phiAngle*thetaAngle*(1-y^2))) + calculatePixel — the inverse of
@@ -864,171 +988,161 @@ def _connect(scene, film, lv, ev, s, t, hero, lambdas, spectral, s_dim,
         phi_c = jnp.where(phi_c < 0, phi_c + 2.0 * jnp.pi, phi_c)
         in_img = (phi_c <= cam.phi_angle) & (theta_c <= cam.theta_angle)
         sin_c = jnp.maximum(jnp.sin(theta_c), 1e-6)
-        e_ddf = jnp.where(in_img[:, None], 1.0, 0.0) * jnp.ones((r, s_dim))
+        e_ddf = jnp.where(in_img[..., None], 1.0, 0.0) * jnp.ones(
+            (n_l, r, s_dim))
         e_ext1_dir_pdf = jnp.where(
-            in_img, 1.0 / (cam.phi_angle * cam.theta_angle * sin_c), 0.0
-        )
-        l_ext2_dir_pdf = jnp.zeros((r,))
-        e_rev_ddf = jnp.zeros((r, s_dim))
+            in_img, 1.0 / (cam.phi_angle * cam.theta_angle * sin_c), 0.0)
+        l_ext2_dir_pdf = jnp.zeros((n_l, r))
+        e_rev_ddf = jnp.zeros((n_l, r, s_dim))
         smp_x = phi_c / cam.phi_angle
         smp_y = theta_c / cam.theta_angle
         hit_px = jnp.clip(
-            (smp_x * width).astype(jnp.int32), 0, width.astype(jnp.int32) - 1
-        )
+            (smp_x * width).astype(jnp.int32), 0, width.astype(jnp.int32) - 1)
         hit_py = jnp.clip(
             (smp_y * height).astype(jnp.int32), 0,
-            height.astype(jnp.int32) - 1
-        )
+            height.astype(jnp.int32) - 1)
         splat_pix = (
             hit_py.astype(jnp.uint32) * width.astype(jnp.uint32)
-            + hit_px.astype(jnp.uint32)
-        )
+            + hit_px.astype(jnp.uint32)).reshape(n_l * r)
     elif t == 1:
         # IDF endpoint (perspective): evaluate + calculatePixel
         # (PerspectiveCamera.cpp:77-99).
         op_w, op_h, img_area = camera_derived(cam)
         zsafe = jnp.where(e_conn_sn[..., 2] <= 1e-6, 1e-6, e_conn_sn[..., 2])
-        pf = e_conn_sn * (cam.obj_dist / zsafe)[:, None] + jnp.stack(
-            [cam.lens_radius * ev.uv[:, ei, 0],
-             cam.lens_radius * ev.uv[:, ei, 1],
+        pf = e_conn_sn * (cam.obj_dist / zsafe)[..., None] + jnp.stack(
+            [cam.lens_radius * ev.uv[ei][:, 0],
+             cam.lens_radius * ev.uv[ei][:, 1],
              jnp.zeros((r,))], axis=-1,
-        )
+        )[None]
         in_img = (
             (pf[..., 0] >= -op_w * 0.5) & (pf[..., 0] <= op_w * 0.5)
             & (pf[..., 1] >= -op_h * 0.5) & (pf[..., 1] <= op_h * 0.5)
             & (e_conn_sn[..., 2] > 0)
         )
-        e_ddf = jnp.where(in_img[:, None], 1.0, 0.0) * jnp.ones((r, s_dim))
+        e_ddf = jnp.where(in_img[..., None], 1.0, 0.0) * jnp.ones(
+            (n_l, r, s_dim))
         e_ext1_dir_pdf = jnp.where(
             in_img,
             (cam.img_dist ** 2) / jnp.maximum(zsafe ** 3 * img_area, 1e-12),
             0.0,
         )
-        l_ext2_dir_pdf = jnp.zeros((r,))
-        e_rev_ddf = jnp.zeros((r, s_dim))
+        l_ext2_dir_pdf = jnp.zeros((n_l, r))
+        e_rev_ddf = jnp.zeros((n_l, r, s_dim))
         smp_x = 0.5 - pf[..., 0] / op_w
         smp_y = 0.5 - pf[..., 1] / op_h
         hit_px = jnp.clip(
-            (smp_x * width).astype(jnp.int32), 0, width.astype(jnp.int32) - 1
-        )
+            (smp_x * width).astype(jnp.int32), 0, width.astype(jnp.int32) - 1)
         hit_py = jnp.clip(
-            (smp_y * height).astype(jnp.int32), 0, height.astype(jnp.int32) - 1
-        )
+            (smp_y * height).astype(jnp.int32), 0,
+            height.astype(jnp.int32) - 1)
         splat_pix = (
             hit_py.astype(jnp.uint32) * width.astype(jnp.uint32)
-            + hit_px.astype(jnp.uint32)
-        )
+            + hit_px.astype(jnp.uint32)).reshape(n_l * r)
     else:
-        e_lobes = gather_lobes(scene, ev.mat_id[:, ei], ev.uv[:, ei],
-                               ev.p[:, ei], lambdas)
-        wo_e = ev.dir_in_sn[:, ei]
-        e_ddf = bsdf_evaluate(e_lobes, wo_e, e_conn_sn, e_gn_sn, hero,
-                              adjoint=False)
-        e_ext1_dir_pdf = bsdf_pdf(e_lobes, wo_e, e_conn_sn, e_gn_sn, hero)
-        l_ext2_dir_pdf = bsdf_pdf(e_lobes, e_conn_sn, wo_e, e_gn_sn, hero)
-        e_rev_ddf = bsdf_evaluate(e_lobes, e_conn_sn, wo_e, e_gn_sn, hero,
-                                  adjoint=True)
+        wo_e = ev.dir_in_sn[ei]                          # (R, 3)
+        e_ddf = v_eval(None, None, 0, None)(
+            e_lobes, wo_e, e_conn_sn, e_gn_sn, False)
+        e_ext1_dir_pdf = v_pdf(None, None, 0, None)(
+            e_lobes, wo_e, e_conn_sn, e_gn_sn)
+        l_ext2_dir_pdf = v_pdf(None, 0, None, None)(
+            e_lobes, e_conn_sn, wo_e, e_gn_sn)
+        e_rev_ddf = v_eval(None, 0, None, None)(
+            e_lobes, e_conn_sn, wo_e, e_gn_sn, True)
         splat_pix = pid_c
 
     # wavelength collapse probability (cpp:194-196): a connection touching a
     # subpath that collapsed the hero wavelength carries 1/wlProb = N.
     wl_prob_inv = 1.0
     if spectral:
-        collapsed = lv.wl_flag[:, li] | ev.wl_flag[:, ei]
+        collapsed = lv.wl_flag | ev.wl_flag[ei][None]
         wl_prob_inv = jnp.where(collapsed, float(s_dim), 1.0)
-    connection = l_ddf * (g * wl_prob_inv)[:, None] * e_ddf
+    connection = l_ddf * (g * wl_prob_inv)[..., None] * e_ddf
     nonzero = jnp.any(connection != 0.0, axis=-1)
     # Visibility (Scene::testVisibility, SurfaceObject.cpp:417-429) is NOT
     # cast here: the shadow query is returned to bpt_batch, which batches
-    # all s-strategies of a t into ONE any-hit kernel call (64 separate
-    # 49k-ray casts dominated the BPT device profile). Env endpoints shoot
-    # an open ray that only needs to clear the world sphere.
+    # all s-strategies of a t into ONE any-hit kernel call. Env endpoints
+    # shoot an open ray that only needs to clear the world sphere.
     shadow_tmax = jnp.where(
-        at_l, 4.0 * scene.world_radius, jnp.sqrt(raw2) * (1.0 - 1e-3)
-    )
-    shadow_q = (ev.p[:, ei], conn_dir, shadow_tmax, valid & nonzero)
+        at_l, 4.0 * scene.world_radius, jnp.sqrt(raw2) * (1.0 - 1e-3))
     valid = valid & nonzero
+    shadow_q = (
+        jnp.broadcast_to(ev.p[ei][None], (n_l, r, 3)).reshape(n_l * r, 3),
+        conn_dir.reshape(n_l * r, 3),
+        shadow_tmax.reshape(n_l * r),
+        valid.reshape(n_l * r))
 
-    # 1st/2nd extension pdfs (cpp:207-232)
+    # 1st/2nd extension pdfs (cpp:207-232), all (n_l, R) with s = row + 1.
     l_ext1_area = l_ext1_dir_pdf * cos_eye / dist2
-    if s > 1:
-        l_ext1_rr = jnp.minimum(
-            importance(
-                l_ddf * (cos_light / jnp.maximum(l_ext1_dir_pdf, 1e-30))[:, None],
-                hero,
-            ),
-            1.0,
-        )
-    else:
-        l_ext1_rr = jnp.ones((r,))
+    l_ext1_rr = jnp.minimum(
+        v_imp(l_ddf * (cos_light
+                       / jnp.maximum(l_ext1_dir_pdf, 1e-30))[..., None],
+              hero),
+        1.0,
+    ).at[0].set(1.0)
     if t > 1:
-        prev_p = ev.p[:, ei - 1]
-        dev_ = ev.p[:, ei] - prev_p
+        prev_p = ev.p[ei - 1]
+        dev_ = ev.p[ei] - prev_p
         d2 = jnp.maximum(dot(dev_, dev_), 1e-12)
-        dir2 = (ev.p[:, ei] - prev_p) / jnp.sqrt(d2)[:, None]
-        l_ext2_area = l_ext2_dir_pdf * jnp.abs(
-            dot(ev.gn[:, ei - 1], dir2)
-        ) / d2
+        dir2 = dev_ / jnp.sqrt(d2)[:, None]
+        l_ext2_area = l_ext2_dir_pdf * (jnp.abs(
+            dot(ev.gn[ei - 1], dir2)) / d2)[None]
         l_ext2_rr = jnp.minimum(
-            importance(
-                e_rev_ddf * (jnp.abs(dot(e_gn_sn, ev.dir_in_sn[:, ei]))
-                             / jnp.maximum(l_ext2_dir_pdf, 1e-30))[:, None],
-                hero,
-            ),
+            v_imp(e_rev_ddf
+                  * (jnp.abs(dot(e_gn_sn, ev.dir_in_sn[ei]))[None]
+                     / jnp.maximum(l_ext2_dir_pdf, 1e-30))[..., None],
+                  hero),
             1.0,
         )
     else:
-        l_ext2_area = jnp.zeros((r,))
-        l_ext2_rr = jnp.zeros((r,))
+        l_ext2_area = jnp.zeros((n_l, r))
+        l_ext2_rr = jnp.zeros((n_l, r))
 
     e_ext1_area = e_ext1_dir_pdf * cos_light / dist2
     if t > 1:
         e_ext1_rr = jnp.minimum(
-            importance(
-                e_ddf * (cos_eye / jnp.maximum(e_ext1_dir_pdf, 1e-30))[:, None],
-                hero,
-            ),
+            v_imp(e_ddf * (cos_eye
+                           / jnp.maximum(e_ext1_dir_pdf, 1e-30))[..., None],
+                  hero),
             1.0,
         )
     else:
-        e_ext1_rr = jnp.ones((r,))
-    if s > 1:
-        prev_p = lv.p[:, li - 1]
-        dlv_ = lv.p[:, li] - prev_p
-        d2 = jnp.maximum(dot(dlv_, dlv_), 1e-12)
-        dir2 = (lv.p[:, li] - prev_p) / jnp.sqrt(d2)[:, None]
-        e_ext2_area = e_ext2_dir_pdf * jnp.abs(
-            dot(lv.gn[:, li - 1], dir2)
-        ) / d2
-        if scene.has_env and s == 2:
-            # prev light vertex at infinity: getDirectionFrom gives its unit
-            # direction with dist2 = 1 and |dot(gn, dir)| = 1.
-            e_ext2_area = jnp.where(
-                lv.at_inf[:, li - 1], e_ext2_dir_pdf, e_ext2_area
-            )
-        e_ext2_rr = jnp.minimum(
-            importance(
-                l_rev_ddf * (jnp.abs(dot(l_gn_sn, lv.dir_in_sn[:, li]))
-                             / jnp.maximum(e_ext2_dir_pdf, 1e-30))[:, None],
-                hero,
-            ),
-            1.0,
-        )
-    else:
-        e_ext2_area = jnp.zeros((r,))
-        e_ext2_rr = jnp.zeros((r,))
+        e_ext1_rr = jnp.ones((n_l, r))
+    # Rows >= 1: pdf of re-extending the light path from vertex s-2 to s-1
+    # (shifted-by-one light tables); a previous light vertex at infinity
+    # keeps dist2 = 1 and |cos| = 1 (getDirectionFrom semantics).
+    prev_lp = jnp.concatenate([lv.p[:1], lv.p[:-1]], axis=0)
+    prev_gn = jnp.concatenate([lv.gn[:1], lv.gn[:-1]], axis=0)
+    prev_inf = jnp.concatenate([at_l[:1], at_l[:-1]], axis=0)
+    dlv_ = lv.p - prev_lp
+    d2l = jnp.maximum(dot(dlv_, dlv_), 1e-12)
+    dir2l = dlv_ / jnp.sqrt(d2l)[..., None]
+    e_ext2_area = e_ext2_dir_pdf * jnp.abs(dot(prev_gn, dir2l)) / d2l
+    if scene.has_env:
+        e_ext2_area = jnp.where(prev_inf, e_ext2_dir_pdf, e_ext2_area)
+    e_ext2_area = e_ext2_area.at[0].set(0.0)
+    e_ext2_rr = jnp.minimum(
+        v_imp(l_rev_ddf * (jnp.abs(dot(l_gn_sn, lv.dir_in_sn))
+                           / jnp.maximum(e_ext2_dir_pdf, 1e-30))[..., None],
+              hero),
+        1.0,
+    ).at[0].set(0.0)
 
-    w = _mis_weight_static(
-        l_ext1_area, l_ext1_rr, l_ext2_area, l_ext2_rr,
-        e_ext1_area, e_ext1_rr, e_ext2_area, e_ext2_rr,
-        s, t,
-        lv.area_pdf, lv.rr_prob, lv.rev_area_pdf, lv.rev_rr_prob, lv.delta,
-        ev.area_pdf, ev.rr_prob, ev.rev_area_pdf, ev.rev_rr_prob, ev.delta,
-    )
+    # MIS weight from the incremental partial sums (O(1) per strategy).
+    d_l, zb_l, s_l = mis_l
+    d_e, zb_e, s_e = mis_e
+    c1l = _safe_div(e_ext1_area * e_ext1_rr, d_l)
+    d_l_prev = jnp.concatenate([jnp.ones((1, r)), d_l[:-1]], axis=0)
+    c2l = _safe_div(e_ext2_area * e_ext2_rr, d_l_prev)
+    rec = 1.0 + zb_l * c1l * c1l + (c1l * c2l) ** 2 * s_l[1:]
+    if t > 1:
+        c1e = _safe_div(l_ext1_area * l_ext1_rr, d_e[t - 1][None])
+        c2e = _safe_div(l_ext2_area * l_ext2_rr, d_e[t - 2][None])
+        rec = rec + zb_e[t - 1][None] * c1e * c1e + (c1e * c2e) ** 2 \
+            * s_e[t][None]
+    w = 1.0 / rec
     w = jnp.where(jnp.isfinite(w), w, 0.0)
     contribution = (
-        lv.alpha[:, li] * connection * ev.alpha[:, ei] * w[:, None]
-    )
+        lv.alpha * connection * ev.alpha[ei][None] * w[..., None])
     return shadow_q, contribution, valid, splat_pix, (t != 1)
 
 

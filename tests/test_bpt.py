@@ -180,3 +180,71 @@ class TestAnimatedBPT:
         assert np.abs(i0 - i1).mean() > 0.03      # signal sanity
         assert d_avg < 0.75 * d_t0, (d_avg, d_t0)
         assert d_avg < 0.75 * d_t1, (d_avg, d_t1)
+
+
+class TestIncrementalMIS:
+    """The O(V^2) recursive MIS partial sums (_mis_incremental) must agree
+    with the literal reference walk (_mis_weight_static, BPT cpp:353-414)
+    for every (s, t) on randomized pdf/delta tables."""
+
+    def test_matches_static_walk(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from slr_tpu.render.bpt import (
+            Vertices, _mis_incremental, _mis_weight_static, _safe_div)
+
+        rng_np = np.random.default_rng(7)
+        r, n_l, n_e = 64, 5, 6
+        def mk(n):
+            area = rng_np.uniform(0.05, 3.0, (n, r)).astype(np.float32)
+            rrp = rng_np.uniform(0.2, 1.0, (n, r)).astype(np.float32)
+            rev_a = rng_np.uniform(0.05, 3.0, (n, r)).astype(np.float32)
+            rev_r = rng_np.uniform(0.2, 1.0, (n, r)).astype(np.float32)
+            delta = rng_np.uniform(size=(n, r)) < 0.25
+            return area, rrp, rev_a, rev_r, delta
+
+        la, lr, lra, lrr, ld = mk(n_l)
+        ea, er, era, err, ed = mk(n_e)
+        z = jnp.zeros((n_l, r))
+        lv = Vertices(*([z] * 10), jnp.asarray(la), jnp.asarray(lr),
+                      jnp.asarray(lra), jnp.asarray(lrr), jnp.asarray(ld),
+                      z, z, z)
+        z = jnp.zeros((n_e, r))
+        evv = Vertices(*([z] * 10), jnp.asarray(ea), jnp.asarray(er),
+                       jnp.asarray(era), jnp.asarray(err), jnp.asarray(ed),
+                       z, z, z)
+        d_l, zb_l, s_l = _mis_incremental(lv, n_l, 0)
+        d_e, zb_e, s_e = _mis_incremental(evv, n_e, 1)
+
+        ext = [rng_np.uniform(0.05, 2.0, (8, r)).astype(np.float32)
+               for _ in range(1)][0]
+        l_e1, l_r1, l_e2, l_r2, e_e1, e_r1, e_e2, e_r2 = (
+            jnp.asarray(ext[i]) for i in range(8))
+
+        for s in range(0, n_l + 1):
+            for t in range(1, n_e + 1):
+                ref = _mis_weight_static(
+                    l_e1, l_r1, l_e2, l_r2, e_e1, e_r1, e_e2, e_r2, s, t,
+                    # static walk indexes [:, i]: lane-major tables
+                    jnp.asarray(la).T, jnp.asarray(lr).T,
+                    jnp.asarray(lra).T, jnp.asarray(lrr).T,
+                    jnp.asarray(ld).T,
+                    jnp.asarray(ea).T, jnp.asarray(er).T,
+                    jnp.asarray(era).T, jnp.asarray(err).T,
+                    jnp.asarray(ed).T,
+                )
+                rec = jnp.ones((r,))
+                if t > 1:
+                    c1 = _safe_div(l_e1 * l_r1, d_e[t - 1])
+                    c2 = _safe_div(l_e2 * l_r2, d_e[t - 2])
+                    rec = rec + zb_e[t - 1] * c1 * c1 + (c1 * c2) ** 2 * s_e[t]
+                if s > 0:
+                    c1 = _safe_div(e_e1 * e_r1, d_l[s - 1])
+                    c2 = _safe_div(
+                        e_e2 * e_r2,
+                        d_l[s - 2] if s >= 2 else jnp.ones((r,)))
+                    rec = rec + zb_l[s - 1] * c1 * c1 + (c1 * c2) ** 2 * s_l[s]
+                got = 1.0 / rec
+                np.testing.assert_allclose(
+                    np.asarray(got), np.asarray(ref), rtol=2e-5,
+                    err_msg=f"s={s} t={t}")
