@@ -26,8 +26,11 @@ libSLR/Renderers/BidirectionalPathTracingRenderer.cpp:
   wavelength (cpp:194-196), tracked per vertex in `wl_flag`.
 
 Wavefront form: subpaths have a static maximum vertex count; the whole
-wavefront builds its vertex SoA tables in lockstep (masked lanes idle), and
-the (s, t) connection loops and MIS walks unroll statically.
+wavefront builds its vertex SoA tables in lockstep (masked lanes idle).
+The connection stage is vectorized over the s axis — its vertex tables are
+vertex-major (V, R, ...) via `_prepend_v0` — and MIS weights come from the
+O(V^2) incremental partial sums of `_mis_incremental` (the literal
+reference walk survives as `_mis_weight_static`, lane-major, test-only).
 """
 from __future__ import annotations
 
@@ -84,7 +87,10 @@ _LIGHT_BOUNCE_OFFSET = 64
 
 
 class Vertices(NamedTuple):
-    """Subpath vertex SoA, all arrays shaped (R, V, ...)."""
+    """Subpath vertex SoA. Generation emits bounce-major (R, V, ...) steps;
+    the connection stage works on the vertex-major (V, R, ...) tables built
+    by `_prepend_v0` (so the vectorized s axis IS the leading array axis).
+    `_mis_weight_static` alone still takes the lane-major (R, V) layout."""
 
     valid: Array         # (R, V) bool
     p: Array             # (R, V, 3)
@@ -108,17 +114,12 @@ class Vertices(NamedTuple):
                          # p is a unit direction, dist2 = 1 in connections
 
 
-def _stack(steps: list, axis=1):
-    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, axis=axis), *steps)
-
-
 def _prepend_v0(v0: Vertices, steps: Vertices) -> Vertices:
     """Endpoint vertex + bounce-major scan output (V, R, ...) -> the
     vertex-major (V + 1, R, ...) table the connection stage indexes/
     vectorizes over. (Vertex-major so the s axis of the vectorized
     connection stage IS the leading array axis — no transposes.)"""
-    return jax.tree_util.tree_map(
-        lambda a, b: jnp.concatenate([a[None], b], axis=0), v0, steps)
+    return _tree_prepend(v0, steps)
 
 
 def _tree_at(tree, i: int):
@@ -169,12 +170,6 @@ def _mis_incremental(v: Vertices, n: int, min_idx: int) -> tuple:
         f = _safe_div(n_v[k - 3], d_[k - 3])
         s_list.append(zfull[k - 2] + f * f * s_list[-1])
     return d_, zb, jnp.stack(s_list, axis=0)
-
-
-def _gn_sn(v: Vertices, i: int) -> Array:
-    return frame_to_local(
-        v.tangent[:, i], v.bitangent[:, i], v.sn[:, i], v.gn[:, i]
-    )
 
 
 def _sorted_cast(scene, o, d, active, f=None):
@@ -854,6 +849,9 @@ def bpt_batch(
     c2_0 = _safe_div(ext2_0, d_e[:-1])
     w0 = 1.0 / (1.0 + zb_e[1:] * c1_0 * c1_0
                 + (c1_0 * c2_0) ** 2 * s_e[2:])
+    # Same float32-overflow guard as the connection path: a huge pdf ratio
+    # squared can produce inf * 0 = NaN, which emit_ok0 would not gate.
+    w0 = jnp.where(jnp.isfinite(w0), w0, 0.0)
     c0 = contrib0 * w0[..., None]
     if spectral:
         # x N when the hero wavelength was collapsed (cpp:305-306); the
