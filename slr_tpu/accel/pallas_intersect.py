@@ -91,6 +91,12 @@ class PallasTris(NamedTuple):
     inst_trs:    (I, 24) f32 per-instance inverse-transform data
                  [T0(3) Q0(4) S0(3) | T1(3) Q1(4, pre-flipped for slerp)
                   S1(3) | theta sin_theta pad*3] (SMEM prefetch)
+    Super boxes (union AABBs over groups of consecutive entries) are kept
+    OUT of this pytree: as a traced argument the extra leaf measurably
+    degraded XLA's compilation of the big BPT program (~27%% on the parity
+    bench) despite being unused there. They ride FlatScene.super_boxes_blob
+    as STATIC bytes instead and materialize as an XLA constant only inside
+    the sort key that needs them (pt._ray_sort_key).
     """
 
     tris: Array
@@ -113,6 +119,49 @@ class PallasTris(NamedTuple):
     @property
     def n_entries(self) -> int:
         return self.boxes.shape[0]
+
+
+def build_super_boxes(boxes: np.ndarray, g: int = 16,
+                      small: int = 48) -> np.ndarray:
+    """Union AABBs over groups of `g` consecutive entries (entries are
+    Morton/DFS ordered, so groups are spatially tight). Small tables keep
+    per-entry granularity — the sort-key slab test is cheap there and the
+    contact estimate is tighter."""
+    b = np.asarray(boxes, np.float32)
+    ne = b.shape[0]
+    if ne <= small:
+        return b.copy()
+    ns = -(-ne // g)
+    sup = np.zeros((ns, 8), np.float32)
+    for i in range(ns):
+        grp = b[i * g:(i + 1) * g]
+        val = grp[:, 6] > 0.5
+        if val.any():
+            sup[i, 0:3] = grp[val, 0:3].min(axis=0)
+            sup[i, 3:6] = grp[val, 3:6].max(axis=0)
+            sup[i, 6] = 1.0
+    return sup
+
+
+def nearest_super_tn(o: Array, d: Array, super_boxes: Array) -> Array:
+    """Per-ray near distance (clamped to >= 0) of the nearest slab-hit
+    super box; T_FAR when the ray misses all of them. Layout (NS, R):
+    the minor dim is the ray axis so vector ops run full-lane."""
+    ot = o.T                    # (3, R)
+    dt = d.T
+    inv = 1.0 / jnp.where(jnp.abs(dt) < 1e-20,
+                          jnp.where(dt >= 0, 1e-20, -1e-20), dt)
+    ns = super_boxes.shape[0]
+    r = o.shape[0]
+    tn = jnp.full((ns, r), -T_FAR, jnp.float32)
+    tf = jnp.full((ns, r), T_FAR, jnp.float32)
+    for a in range(3):
+        t0 = (super_boxes[:, a][:, None] - ot[a][None, :]) * inv[a][None, :]
+        t1 = (super_boxes[:, 3 + a][:, None] - ot[a][None, :]) * inv[a][None, :]
+        tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+        tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+    ok = (tn <= tf) & (tf >= 0.0) & (super_boxes[:, 6][:, None] > 0.5)
+    return jnp.min(jnp.where(ok, jnp.maximum(tn, 0.0), T_FAR), axis=0)
 
 
 def _pad128(w: int) -> int:

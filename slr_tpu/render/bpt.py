@@ -182,7 +182,10 @@ def _sorted_cast(scene, o, d, active, f=None):
     from ..core.permute import permute_rows, unpermute_rows
     from .pt import _ray_sort_key, scene_intersect_alpha
 
-    key = _ray_sort_key(scene, o, d, active)
+    # contact=False: subpath/connection ray origins sit ON geometry
+    # (tn ~ 0, no grouping win) and the contact variant's extra ops
+    # perturb XLA's fusion of this program ~27% (measured, r5).
+    key = _ray_sort_key(scene, o, d, active, contact=False)
     order = jnp.argsort(key)
     if f is None:
         o_s, d_s, act_s = permute_rows((o, d, active), order)
@@ -204,7 +207,10 @@ def _sorted_occluded(scene, o, d, tmax, active, f=None):
     from ..core.permute import permute_rows, unpermute_rows
     from .pt import _ray_sort_key, scene_occluded
 
-    key = _ray_sort_key(scene, o, d, active)
+    # contact=False: subpath/connection ray origins sit ON geometry
+    # (tn ~ 0, no grouping win) and the contact variant's extra ops
+    # perturb XLA's fusion of this program ~27% (measured, r5).
+    key = _ray_sort_key(scene, o, d, active, contact=False)
     order = jnp.argsort(key)
     if f is None:
         o_s, d_s, tmax_s, act_s = permute_rows((o, d, tmax, active), order)

@@ -310,11 +310,23 @@ class PathState(NamedTuple):
     init_y: Array      # (R,) initial importance for RR
 
 
-def _ray_sort_key(scene: FlatScene, o: Array, d: Array, active: Array) -> Array:
+def _ray_sort_key(scene: FlatScene, o: Array, d: Array, active: Array,
+                  contact: bool = True) -> Array:
     """Coherence key for wavefront re-sorting: direction octant (3 bits) +
-    Morton code of the quantized origin (27 bits). Inactive lanes key to the
-    maximum so they pack into trailing ray blocks, where the Pallas kernels'
-    block-granular opt-out skips them entirely.
+    Morton code of the quantized estimated CONTACT point (27 bits). Inactive
+    lanes key to the maximum so they pack into trailing ray blocks, where the
+    Pallas kernels' block-granular opt-out skips them entirely.
+
+    The contact point is o + tn*d with tn the near distance of the nearest
+    super-box the ray enters (pallas_intersect.nearest_super_tn) — a coarse
+    "where does this ray first meet geometry" estimate. Grouping rays by
+    contact locality instead of origin collapses the per-block worklist
+    UNIONS the traversal kernel pays for: on the RTC3-class grass scene,
+    mean entries/block drops 176 -> 32 for primaries (all sharing one
+    origin, useless as a key) and 284 -> 86 for scrambled bounce rays —
+    kernel 186 -> 57 ms / 236 -> 63 ms (tools/exp_locality_sort.py). For
+    rays whose origin already touches geometry tn ~ 0 and the key reduces
+    to the old origin key.
 
     Sorting is statistically invisible: the RNG is keyed per (pixel, sample,
     bounce, decision), so each lane draws identical randoms in any order and
@@ -323,7 +335,17 @@ def _ray_sort_key(scene: FlatScene, o: Array, d: Array, active: Array) -> Array:
     differently around the gathers)."""
     lo = scene.world_center - scene.world_radius
     ext = jnp.maximum(2.0 * scene.world_radius, 1e-12)
-    q = jnp.clip((o - lo) / ext * 511.0, 0.0, 511.0).astype(jnp.uint32)
+    p_key = o
+    if contact and scene.super_boxes_blob is not None:
+        from ..accel.pallas_intersect import T_FAR, nearest_super_tn
+
+        # Static bytes -> XLA constant (deliberately NOT a traced scene
+        # leaf; see FlatScene.super_boxes_blob).
+        sup = jnp.asarray(
+            np.frombuffer(scene.super_boxes_blob, np.float32).reshape(-1, 8))
+        tn = nearest_super_tn(o, d, sup)
+        p_key = o + jnp.where(tn < T_FAR, tn, 0.0)[:, None] * d
+    q = jnp.clip((p_key - lo) / ext * 511.0, 0.0, 511.0).astype(jnp.uint32)
 
     def expand9(v):
         # Spread 9 bits to every 3rd position (fits 27 bits).

@@ -849,6 +849,7 @@ class SceneBuilder:
 
         from ..accel.pallas_intersect import (
             build_pallas_tris,
+            build_super_boxes,
             extend_pallas_instanced,
         )
 
@@ -902,4 +903,11 @@ class SceneBuilder:
             has_alpha=bool((tri_alpha >= 0).any()),
             world_center=jnp.asarray(center),
             world_radius=jnp.float32(radius),
+            super_boxes_blob=(
+                np.asarray(
+                    build_super_boxes(np.asarray(pallas_tris.boxes)),
+                    np.float32,
+                ).tobytes()
+                if pallas_tris is not None else None
+            ),
         )

@@ -332,5 +332,13 @@ class FlatScene(struct.PyTreeNode):
     has_env: bool = struct.field(pytree_node=False, default=False)
     has_normal_map: bool = struct.field(pytree_node=False, default=False)
     has_alpha: bool = struct.field(pytree_node=False, default=False)
+    # Static (NS*8,) f32 bytes of accel.pallas_intersect.build_super_boxes —
+    # coarse entry-group AABBs for the wavefront's contact-point sort key.
+    # Static on purpose: as a traced pytree leaf the extra argument
+    # measurably degraded XLA's compile of the BPT program; as bytes it
+    # materializes as an XLA constant only where used (pt._ray_sort_key).
+    super_boxes_blob: Optional[bytes] = struct.field(
+        pytree_node=False, default=None
+    )
     world_center: Array = None  # (3,)
     world_radius: Array = None  # ()

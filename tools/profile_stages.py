@@ -44,8 +44,8 @@ def loop16(stage):
 def main():
     from slr_tpu.scene.api import load_scene
     from slr_tpu.accel.pallas_intersect import (
-        _pack_rays, _chunk_worklist, _ray_ranges, _run_kernel,
-        _run_kernel_any, intersect_pallas, anyhit_pallas)
+        _pack_rays, _build_worklist, _prefetch_tables, _ray_ranges,
+        _run_kernel, _run_kernel_any, intersect_pallas, anyhit_pallas)
     from slr_tpu.camera.perspective import sample_camera_rays
     from slr_tpu.bsdf.bsdf import (gather_lobes, bsdf_evaluate, bsdf_pdf,
                                    bsdf_sample, bsdf_has_nondelta)
@@ -96,20 +96,24 @@ def main():
     # 2) kernel only: fixed worklist
     tmin_a, tmax_a = _ray_ranges(n_pix, RAY_EPSILON, jnp.inf, None)
     rr, _ = _pack_rays(o, d, tmin_a, tmax_a, 256)
-    wl0, cnt0 = jax.jit(lambda r: _chunk_worklist(r, pt_tab.boxes))(rr)
+    wl0, cnt0, wtn0 = jax.jit(
+        lambda r: _build_worklist(r, pt_tab.boxes))(rr)
+    echunk, einst, itrs = _prefetch_tables(pt_tab)
 
     def st_kernel(c):
         rr_, acc = c
-        t, idx = _run_kernel(wl0, cnt0, pt_tab.boxes, rr_, pt_tab.tris,
-                             pt_tab.chunk, pt_tab.n_chunks, rb=256)
+        t, idx, _inst = _run_kernel(
+            wl0, wtn0, cnt0, pt_tab.boxes, echunk, einst, itrs, rr_,
+            pt_tab.tris, pt_tab.chunk, pt_tab.n_entries, rb=256)
         return rr_ + 0.0 * t.sum(), acc + t[:, 0, 0]
     timeit("closest kernel only", loop16(st_kernel),
            (rr, jnp.zeros(rr.shape[0])))
 
     def st_kernel_any(c):
         rr_, acc = c
-        (hh,) = _run_kernel_any(wl0, cnt0, pt_tab.boxes, rr_, pt_tab.tris,
-                                pt_tab.chunk, pt_tab.n_chunks, rb=256)
+        (hh,) = _run_kernel_any(
+            wl0, wtn0, cnt0, pt_tab.boxes, echunk, einst, itrs, rr_,
+            pt_tab.tris, pt_tab.chunk, pt_tab.n_entries, rb=256)
         return rr_ + 0.0 * hh.sum().astype(jnp.float32), acc + hh[:, 0, 0]
     timeit("anyhit kernel only", loop16(st_kernel_any),
            (rr, jnp.zeros(rr.shape[0], jnp.int32)))
@@ -117,7 +121,7 @@ def main():
     # 3) worklist build alone
     def st_wl(c):
         rr_, acc = c
-        wl, cnt = _chunk_worklist(rr_, pt_tab.boxes)
+        wl, cnt, wtn = _build_worklist(rr_, pt_tab.boxes)
         return rr_ + 0.0 * cnt.sum().astype(jnp.float32), acc + cnt
     timeit("worklist build", loop16(st_wl),
            (rr, jnp.zeros(rr.shape[0], jnp.int32)))
