@@ -57,6 +57,7 @@ from ..scene.types import Geometry
 from .intersect import Hit, RAY_EPSILON, moller_trumbore
 
 RB = 256           # default rays per program instance (tunable per call)
+NBUF = 4           # chunk-DMA pipeline depth (see _traverse_closest)
 DEFAULT_CHUNK = 128
 ROWS = 16          # packed ray rows (sublane-aligned)
 T_FAR = 3e38       # finite stand-in for +inf (inf breaks slab arithmetic)
@@ -513,12 +514,18 @@ def extend_pallas_instanced(static_pt: PallasTris, positions, tri_vidx,
 # Worklist construction (plain XLA, runs inside the caller's jit)
 # ---------------------------------------------------------------------------
 
-def _chunk_worklist(rays: Array, boxes: Array
+def _chunk_worklist(rays: Array, boxes: Array, slice_w: int = 512
                     ) -> tuple[Array, Array, Array]:
-    """Per-block culled, front-to-back ordered chunk worklists.
+    """Per-block culled, front-to-back ordered chunk worklists — EXACT
+    per-ray slab tests for every entry, processed in entry slices so the
+    (NB, S, RB) intermediates stay bounded. (An interval-arithmetic bundle
+    variant used to cover large tables; its conservatism measured 2.2x
+    fatter unions than per-ray truth on the grass scene — 47 vs 21.6 mean
+    entries/block at RB=128 — and the kernel pays ~0.8 us per entry, so
+    exactness here is the cheaper side of the trade.)
 
-    rays (NB, 16, RB) packed; boxes (NC, 8). Returns (worklist (NB*NC,) i32,
-    count (NB,) i32, near (NB*NC,) f32 sorted block-entry distances — the
+    rays (NB, 16, RB) packed; boxes (NE, 8). Returns (worklist (NB*NE,) i32,
+    count (NB,) i32, near (NB*NE,) f32 sorted block-entry distances — the
     kernel's ordered-traversal break keys). Entries past `count` repeat the
     last valid chunk so the kernel's repeated index never triggers a fresh
     DMA."""
@@ -530,26 +537,33 @@ def _chunk_worklist(rays: Array, boxes: Array
     tmaxr = rays[:, 11, :]
     inv = 1.0 / jnp.where(jnp.abs(d) < 1e-20,
                           jnp.where(d >= 0, 1e-20, -1e-20), d)
-    # Layout (NB, NC, RB): the MINOR dim must be the 256-lane ray axis —
-    # an (…, NC) minor at NC ~ 16-64 pads every vector op to 128 lanes
-    # (measured 5 ms -> ~1 ms for the whole build at the parity scene).
-    tn = jnp.full((nb, nc, rb), -T_FAR, jnp.float32)
-    tf = jnp.full((nb, nc, rb), T_FAR, jnp.float32)
-    for a in range(3):
-        lo = boxes[:, a][None, :, None]
-        hi = boxes[:, 3 + a][None, :, None]
-        t0 = (lo - o[:, a, None, :]) * inv[:, a, None, :]
-        t1 = (hi - o[:, a, None, :]) * inv[:, a, None, :]
-        tn = jnp.maximum(tn, jnp.minimum(t0, t1))
-        tf = jnp.minimum(tf, jnp.maximum(t0, t1))
-    ok = (
-        (tn <= tf)
-        & (tf >= tminr[:, None, :])
-        & (tn <= tmaxr[:, None, :])
-        & (boxes[:, 6][None, :, None] > 0.5)
-    )
-    blk = jnp.any(ok, axis=2)                              # (NB, NC)
-    tn_blk = jnp.min(jnp.where(ok, tn, T_FAR), axis=2)     # (NB, NC)
+    # Layout (NB, S, RB): the MINOR dim must be the ray axis — an (…, S)
+    # minor at S ~ 16-64 pads every vector op to 128 lanes (measured 5 ms
+    # -> ~1 ms for the whole build at the parity scene).
+    blk_parts = []
+    tn_parts = []
+    for s0 in range(0, nc, slice_w):
+        bsl = boxes[s0:s0 + slice_w]
+        ns = bsl.shape[0]
+        tn = jnp.full((nb, ns, rb), -T_FAR, jnp.float32)
+        tf = jnp.full((nb, ns, rb), T_FAR, jnp.float32)
+        for a in range(3):
+            lo = bsl[:, a][None, :, None]
+            hi = bsl[:, 3 + a][None, :, None]
+            t0 = (lo - o[:, a, None, :]) * inv[:, a, None, :]
+            t1 = (hi - o[:, a, None, :]) * inv[:, a, None, :]
+            tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+            tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+        ok = (
+            (tn <= tf)
+            & (tf >= tminr[:, None, :])
+            & (tn <= tmaxr[:, None, :])
+            & (bsl[:, 6][None, :, None] > 0.5)
+        )
+        blk_parts.append(jnp.any(ok, axis=2))                       # (NB, S)
+        tn_parts.append(jnp.min(jnp.where(ok, tn, T_FAR), axis=2))  # (NB, S)
+    blk = jnp.concatenate(blk_parts, axis=1)               # (NB, NC)
+    tn_blk = jnp.concatenate(tn_parts, axis=1)             # (NB, NC)
     key = jnp.where(blk, tn_blk, jnp.inf)
     order = jnp.argsort(key, axis=1).astype(jnp.int32)
     near = jnp.minimum(jnp.sort(key, axis=1), T_FAR)
@@ -564,89 +578,8 @@ def _chunk_worklist(rays: Array, boxes: Array
     return wl.reshape(-1), count, near.reshape(-1)
 
 
-def _chunk_worklist_bundle(rays: Array, boxes: Array
-                           ) -> tuple[Array, Array, Array]:
-    """Bundle (per-block interval-arithmetic) worklist culling for LARGE
-    entry tables: the per-ray variant materializes (NB, RB, NE) floats,
-    which at thousands of instanced entries is gigabytes. Per block, ray
-    origins/directions are collapsed to intervals and each entry box is
-    slab-tested conservatively — (NB, NE) work. Blocks are direction-octant
-    sorted (pt._ray_sort_key leads with the octant), so direction intervals
-    rarely straddle zero and the conservative test stays tight."""
-    nb, _, rb = rays.shape
-    ne = boxes.shape[0]
-    o = rays[:, 6:9, :]
-    d = rays[:, 0:3, :]
-    tminr = rays[:, 10, :]
-    tmaxr = rays[:, 11, :]
-    act = tmaxr >= tminr                               # (NB, RB)
-    any_act = jnp.any(act, axis=1)                     # (NB,)
-    big = jnp.float32(T_FAR)
-
-    def mask_minmax(x):
-        lo = jnp.min(jnp.where(act[:, None, :], x, big), axis=2)
-        hi = jnp.max(jnp.where(act[:, None, :], x, -big), axis=2)
-        return lo, hi                                   # (NB, 3)
-
-    olo, ohi = mask_minmax(o)
-    dlo, dhi = mask_minmax(d)
-    tmax_hi = jnp.max(jnp.where(act, tmaxr, -big), axis=1)   # (NB,)
-
-    tn_l = jnp.full((nb, ne), -T_FAR, jnp.float32)
-    tf_u = jnp.full((nb, ne), T_FAR, jnp.float32)
-    for a in range(3):
-        blo = boxes[:, a][None, :]
-        bhi = boxes[:, 3 + a][None, :]
-        d0 = dlo[:, a][:, None]
-        d1 = dhi[:, a][:, None]
-        same_sign = (d0 * d1) > 0.0
-        inv0 = 1.0 / jnp.where(same_sign, d0, 1.0)
-        inv1 = 1.0 / jnp.where(same_sign, d1, 1.0)
-        # numerator interval of (b - o) for each plane
-        n0_lo = blo - ohi[:, a][:, None]
-        n0_hi = blo - olo[:, a][:, None]
-        n1_lo = bhi - ohi[:, a][:, None]
-        n1_hi = bhi - olo[:, a][:, None]
-        prods = jnp.stack([
-            n0_lo * inv0, n0_lo * inv1, n0_hi * inv0, n0_hi * inv1,
-            n1_lo * inv0, n1_lo * inv1, n1_hi * inv0, n1_hi * inv1,
-        ])
-        p_lo = jnp.min(prods, axis=0)
-        p_hi = jnp.max(prods, axis=0)
-        # Axis with direction interval spanning zero: unconstrained.
-        p_lo = jnp.where(same_sign, p_lo, -T_FAR)
-        p_hi = jnp.where(same_sign, p_hi, T_FAR)
-        tn_l = jnp.maximum(tn_l, p_lo)
-        tf_u = jnp.minimum(tf_u, p_hi)
-
-    ok = (
-        (tn_l <= tf_u)
-        & (tf_u >= 0.0)
-        & (tn_l <= tmax_hi[:, None])
-        & (boxes[:, 6][None, :] > 0.5)
-        & any_act[:, None]
-    )
-    key = jnp.where(ok, jnp.maximum(tn_l, 0.0), jnp.inf)
-    order = jnp.argsort(key, axis=1).astype(jnp.int32)
-    near = jnp.minimum(jnp.sort(key, axis=1), T_FAR)
-    count = jnp.sum(ok, axis=1).astype(jnp.int32)
-    oh_last = (jnp.arange(ne, dtype=jnp.int32)[None, :]
-               == jnp.maximum(count - 1, 0)[:, None])
-    last = jnp.sum(jnp.where(oh_last, order, 0), axis=1, keepdims=True)
-    wl = jnp.where(jnp.arange(ne, dtype=jnp.int32)[None, :] < count[:, None],
-                   order, last)
-    return wl.reshape(-1), count, near.reshape(-1)
-
-
-# Entry-count threshold above which the worklist switches to the bundle
-# test (the per-ray test allocates (NB, RB, NE) floats).
-BUNDLE_THRESHOLD = 192
-
-
 def _build_worklist(rays: Array, boxes: Array
                     ) -> tuple[Array, Array, Array]:
-    if boxes.shape[0] > BUNDLE_THRESHOLD:
-        return _chunk_worklist_bundle(rays, boxes)
     return _chunk_worklist(rays, boxes)
 
 
@@ -717,12 +650,12 @@ def _contract(rays16, tris16, chunk: int):
     return through, den, num
 
 
-def _block_hits_box(rays16, boxes_ref, c, upper, enable=None):
-    """True if ANY (enabled) ray in the block can hit entry c's AABB closer
-    than its per-ray `upper` bound. Box bounds come from prefetched SMEM
-    scalars (flattened 1-D: 2-D SMEM operands pad the minor dim to a full
-    128 lanes, 16x the footprint); ~30 VPU ops on (rb,) vectors vs ~10^5
-    for the chunk pipeline."""
+def _block_box_mask(rays16, boxes_ref, c, upper, enable=None):
+    """(rb,) bool: which (enabled) rays in the block can hit entry c's AABB
+    closer than their per-ray `upper` bound. Box bounds come from prefetched
+    SMEM scalars (flattened 1-D: 2-D SMEM operands pad the minor dim to a
+    full 128 lanes, 16x the footprint); ~30 VPU ops on (rb,) vectors vs
+    ~10^5 for the chunk pipeline."""
     d0, d1, d2 = rays16[0, :], rays16[1, :], rays16[2, :]
     o = (rays16[6, :], rays16[7, :], rays16[8, :])
     tmin = rays16[10, :]
@@ -739,7 +672,77 @@ def _block_hits_box(rays16, boxes_ref, c, upper, enable=None):
     ok = (tn <= tf) & (tf >= tmin) & (tn <= upper)
     if enable is not None:
         ok = ok & enable
-    return jnp.any(ok)
+    return ok
+
+
+def _nbuf_for(n_entries: int) -> int:
+    """Chunk-DMA pipeline depth: 4-deep keeps enough fetches in flight for
+    long worklists, but each pipeline slot costs an init scan, which is
+    pure overhead when worklists are a handful of entries."""
+    return 2 if n_entries <= 64 else NBUF
+
+
+def _scan_w_for(n_entries: int) -> int:
+    """Scan batch width: wide batches amortize the vector->scalar sync for
+    long worklists but waste (clamped, duplicate) box tests when lists are
+    a handful of entries — the parity scene measured ~8% slower at W=8."""
+    return 8 if n_entries > 64 else 2
+
+
+def _scan_next(rays16, boxes_ref, wl_at, wtn_at, n, k0, upper, scan_w,
+               enable=None):
+    """First worklist index j >= k0 whose entry box ANY (enabled) ray can
+    hit below its per-ray `upper` bound; n when the near-sorted suffix
+    starts beyond every ray's bound or the list is exhausted.
+
+    The serial one-entry-per-step scan cost ~2 vector->scalar syncs per
+    scanned entry (the jnp.any readback + the while_loop cond), which set
+    a ~0.8 us/entry floor on the whole traversal. Here `scan_w` entries are
+    box-tested per step as independent (rb,) vector ops whose results
+    collapse through ONE packed bitmask readback; the suffix-break and
+    first-hit selection then run on cheap SMEM scalars."""
+    if enable is not None:
+        ub = jnp.max(jnp.where(enable, upper, -T_FAR))
+    else:
+        ub = jnp.max(upper)
+
+    def clampi(j):
+        return jnp.maximum(jnp.minimum(j, n - 1), 0)
+
+    def cond(st):
+        return st[1] == jnp.int32(-2)
+
+    def step(st):
+        j, _ = st
+        masks = []
+        for u in range(scan_w):
+            mv = _block_box_mask(rays16, boxes_ref, wl_at(clampi(j + u)),
+                                 upper, enable=enable)
+            # f32 before stacking: Mosaic cannot concatenate i1 vregs.
+            masks.append(mv.astype(jnp.float32))
+        ok8 = jnp.stack(masks, axis=0)                     # (W, rb)
+        hit8 = jnp.max(ok8, axis=1, keepdims=True) > 0.0   # (W, 1)
+        w_pow = jax.lax.broadcasted_iota(jnp.int32, (scan_w, 1), 0)
+        m = jnp.sum(jnp.where(hit8, jnp.int32(1) << w_pow, 0))  # ONE sync
+        # Suffix break: wtn is ascending, so the first out-of-range or
+        # beyond-every-ray entry stops the scan; passes after it are void.
+        stop = jnp.int32(scan_w)
+        for u in reversed(range(scan_w)):
+            cut = jnp.logical_or(j + u >= n, wtn_at(clampi(j + u)) > ub)
+            stop = jnp.where(cut, jnp.int32(u), stop)
+        m_valid = m & ((jnp.int32(1) << stop) - 1)
+        off = jnp.int32(scan_w)
+        for u in reversed(range(scan_w)):
+            off = jnp.where((m_valid >> jnp.int32(u)) & 1 == 1,
+                            jnp.int32(u), off)
+        res = jnp.where(
+            m_valid > 0, j + off,
+            jnp.where(stop < jnp.int32(scan_w), n, jnp.int32(-2)))
+        return (j + jnp.int32(scan_w), res)
+
+    start = jnp.maximum(jnp.minimum(k0, n), 0)
+    _, res = jax.lax.while_loop(cond, step, (start, jnp.int32(-2)))
+    return res
 
 
 def _xform_rays(rays16, itrs_ref, i, rbuf, rb):
@@ -815,7 +818,8 @@ def _xform_rays(rays16, itrs_ref, i, rbuf, rb):
 
 def _traverse_closest(i, wl_at, wtn_at, cnt_ref, boxes_ref, echunk_ref,
                       einst_ref, itrs_ref, rays_ref, tris_hbm, t_ref,
-                      idx_ref, inst_ref, buf, rbuf, sem, chunk, rb):
+                      idx_ref, inst_ref, buf, rbuf, sem, chunk, rb,
+                      scan_w, nbuf):
     rays16 = rays_ref[0]          # (16, RB)
     tmin = rays16[10, :]
     tmax = rays16[11, :]
@@ -829,51 +833,51 @@ def _traverse_closest(i, wl_at, wtn_at, cnt_ref, boxes_ref, echunk_ref,
         return pltpu.make_async_copy(tris_hbm.at[c], buf.at[slot],
                                      sem.at[slot])
 
-    # Scan-ahead traversal: the per-entry block box test (a ~30-op VPU
-    # test against prefetched SMEM box scalars, using the CURRENT per-ray
-    # best t) runs BEFORE the chunk DMA, so skipped entries cost ~30 VPU
-    # ops instead of a 40 KB fetch — the wavefront analogue of the
-    # reference's ordered stack descent pruning subtrees by `isect->t`
-    # (SBVH.h:417-442). The worklist is near-to-far sorted, so the scan
-    # also stops outright once the next entry's near plane lies beyond
-    # every ray's current best (suffix break; tmax is pre-clamped to the
-    # scene-box exit so miss rays cannot pin the bound at +inf).
+    # Scan-ahead traversal: per-entry block box tests (VPU tests against
+    # prefetched SMEM box scalars, using the CURRENT per-ray best t) run
+    # BEFORE the chunk DMA, _SCAN_W entries per scalar sync — the
+    # wavefront analogue of the reference's ordered stack descent pruning
+    # subtrees by `isect->t` (SBVH.h:417-442). The worklist is near-to-far
+    # sorted, so the scan also stops outright once the next entry's near
+    # plane lies beyond every ray's current best (suffix break; tmax is
+    # pre-clamped to the scene-box exit so miss rays cannot pin the bound
+    # at +inf).
     def next_pass(k0):
-        ub = jnp.max(t_ref[0, 0, :])
-
-        def clampi(j):
-            return jnp.maximum(jnp.minimum(j, n - 1), 0)
-
-        def scan_cond(j):
-            in_range = jnp.logical_and(j < n, wtn_at(clampi(j)) <= ub)
-            hit_box = _block_hits_box(rays16, boxes_ref, wl_at(clampi(j)),
-                                      t_ref[0, 0, :])
-            return jnp.logical_and(in_range, jnp.logical_not(hit_box))
-
-        j = jax.lax.while_loop(scan_cond, lambda j: j + 1,
-                               jnp.maximum(jnp.minimum(k0, n), 0))
-        done = jnp.logical_or(j >= n, wtn_at(clampi(j)) > ub)
-        return jnp.where(done, n, j)
+        return _scan_next(rays16, boxes_ref, wl_at, wtn_at, n, k0,
+                          t_ref[0, 0, :], scan_w)
 
     j0 = next_pass(0)
 
     @pl.when(j0 < n)
     def _traverse():
+        # Fill the NBUF-deep prefetch queue: entry q[k] rides slot k.
+        # Compute per chunk (~0.7 us epilogue at chunk 128) sits well
+        # below HBM DMA latency (~2 us), so the old 2-buffer pipeline was
+        # latency-bound at ~2.6 us per visited entry; keeping NBUF - 1
+        # fetches in flight hides it. Queue-tail scans use the then-
+        # current best t — staler than 1-deep prefetching, which only
+        # means an occasional entry is fetched that tighter bounds would
+        # have pruned (correctness is per-ray t tests at process time).
         dma(0, j0).start()
+        q = [j0]
+        for k in range(1, nbuf):
+            jk = next_pass(q[-1] + 1)
+
+            @pl.when(jk < n)
+            def _pk(jk=jk, k=k):
+                dma(k, jk).start()
+            q.append(jk)
 
         def cond(carry):
             return carry[1] < n
 
         def body(carry):
-            it, j, jn = carry
-            slot = jax.lax.rem(it, 2)
-
-            @pl.when(jn < n)
-            def _prefetch():
-                dma(1 - slot, jn).start()
-
-            dma(slot, j).wait()
-            e = wl_at(j)
+            it = carry[0]
+            q0 = carry[1]
+            qrest = carry[2:]
+            slot = jax.lax.rem(it, nbuf)
+            dma(slot, q0).wait()
+            e = wl_at(q0)
             inst = einst_ref[e]
 
             @pl.when(inst >= 0)
@@ -909,19 +913,23 @@ def _traverse_closest(i, wl_at, wtn_at, cnt_ref, boxes_ref, echunk_ref,
             inst_ref[0, 0, :] = jnp.where(closer, inst,
                                           inst_ref[0, 0, :])
 
-            # Next candidate AFTER the one already prefetched; the scan
-            # sees the just-updated best t, so it prunes tighter than the
-            # prefetch decision did (one-entry staleness, amortized).
-            jn2 = next_pass(jn + 1)
-            return (it + 1, jn, jn2)
+            # New queue tail: first passing entry after the current tail,
+            # scanned with the just-updated best t. Freed slot = the one
+            # just consumed.
+            qn = next_pass(qrest[-1] + 1)
 
-        jax.lax.while_loop(cond, body, (0, j0, next_pass(j0 + 1)))
+            @pl.when(qn < n)
+            def _ptail():
+                dma(slot, qn).start()
+            return (it + 1,) + qrest + (qn,)
+
+        jax.lax.while_loop(cond, body, (0,) + tuple(q))
 
 
 def _kernel(cnt_ref, boxes_ref, echunk_ref, einst_ref, itrs_ref,
             rays_ref, wl_hbm, wtn_hbm, tris_hbm, t_ref, idx_ref, inst_ref,
             buf, rbuf, wl_ref, wtn_ref, sem, wl_sem, wtn_sem, *, chunk: int,
-            rb: int, ncap: int):
+            rb: int, ncap: int, scan_w: int, nbuf: int):
     i = pl.program_id(0)
     # The (NB, NE) worklist lives in HBM (it exceeds SMEM at instanced
     # entry counts); each block DMAs its row into SMEM scratch.
@@ -940,13 +948,14 @@ def _kernel(cnt_ref, boxes_ref, echunk_ref, einst_ref, itrs_ref,
 
     _traverse_closest(i, wl_at, wtn_at, cnt_ref, boxes_ref, echunk_ref,
                       einst_ref, itrs_ref, rays_ref, tris_hbm, t_ref,
-                      idx_ref, inst_ref, buf, rbuf, sem, chunk, rb)
+                      idx_ref, inst_ref, buf, rbuf, sem, chunk, rb, scan_w,
+                      nbuf)
 
 
 def _kernel_smallwl(wl_ref, wtn_ref, cnt_ref, boxes_ref, echunk_ref,
                     einst_ref, itrs_ref, rays_ref, tris_hbm, t_ref, idx_ref,
                     inst_ref, buf, rbuf, sem, *, chunk: int, rb: int,
-                    ncap: int):
+                    ncap: int, scan_w: int, nbuf: int):
     """Small-table variant: the whole (NB * NE) worklist rides the scalar
     prefetch into SMEM — no per-block DMA stall (the hot path for typical
     static scenes, where NE is tens of entries)."""
@@ -961,12 +970,13 @@ def _kernel_smallwl(wl_ref, wtn_ref, cnt_ref, boxes_ref, echunk_ref,
 
     _traverse_closest(i, wl_at, wtn_at, cnt_ref, boxes_ref, echunk_ref,
                       einst_ref, itrs_ref, rays_ref, tris_hbm, t_ref,
-                      idx_ref, inst_ref, buf, rbuf, sem, chunk, rb)
+                      idx_ref, inst_ref, buf, rbuf, sem, chunk, rb, scan_w,
+                      nbuf)
 
 
 def _traverse_any(i, wl_at, wtn_at, cnt_ref, boxes_ref, echunk_ref,
                   einst_ref, itrs_ref, rays_ref, tris_hbm, hit_ref, buf,
-                  rbuf, sem, chunk, rb):
+                  rbuf, sem, chunk, rb, scan_w, nbuf):
     """Any-hit traversal: no argmin, no division. A triangle occludes iff
     t = num/den lies in [tmin, tmax], tested as sign conditions on
     (num - tmin*den)*(num - tmax*den) — fmas instead of a divide. The loop
@@ -985,45 +995,39 @@ def _traverse_any(i, wl_at, wtn_at, cnt_ref, boxes_ref, echunk_ref,
                                      sem.at[slot])
 
     # Scan-ahead: box-test entries (against OPEN rays only) before paying
-    # their DMA; stop when all live rays are occluded or the sorted
-    # worklist's next near plane is beyond every open ray's tmax.
+    # their DMA, _SCAN_W per scalar sync; stop when all live rays are
+    # occluded or the sorted worklist's next near plane is beyond every
+    # open ray's tmax.
     def next_pass(k0):
         open_ray = live & (hit_ref[0, 0, :] == 0)
-        ub = jnp.max(jnp.where(open_ray, tmax, -T_FAR))
-
-        def clampi(j):
-            return jnp.maximum(jnp.minimum(j, n - 1), 0)
-
-        def scan_cond(j):
-            in_range = jnp.logical_and(j < n, wtn_at(clampi(j)) <= ub)
-            hit_box = _block_hits_box(rays16, boxes_ref, wl_at(clampi(j)),
-                                      tmax, enable=open_ray)
-            return jnp.logical_and(in_range, jnp.logical_not(hit_box))
-
-        j = jax.lax.while_loop(scan_cond, lambda j: j + 1,
-                               jnp.maximum(jnp.minimum(k0, n), 0))
-        done = jnp.logical_or(j >= n, wtn_at(clampi(j)) > ub)
-        return jnp.where(done, n, j)
+        return _scan_next(rays16, boxes_ref, wl_at, wtn_at, n, k0,
+                          tmax, scan_w, enable=open_ray)
 
     j0 = next_pass(0)
 
     @pl.when(j0 < n)
     def _traverse():
+        # NBUF-deep DMA pipeline; see _traverse_closest for rationale.
         dma(0, j0).start()
+        q = [j0]
+        for k in range(1, nbuf):
+            jk = next_pass(q[-1] + 1)
+
+            @pl.when(jk < n)
+            def _pk(jk=jk, k=k):
+                dma(k, jk).start()
+            q.append(jk)
 
         def cond(carry):
             return carry[1] < n
 
         def body(carry):
-            it, j, jn = carry
-            slot = jax.lax.rem(it, 2)
-
-            @pl.when(jn < n)
-            def _prefetch():
-                dma(1 - slot, jn).start()
-
-            dma(slot, j).wait()
-            e = wl_at(j)
+            it = carry[0]
+            q0 = carry[1]
+            qrest = carry[2:]
+            slot = jax.lax.rem(it, nbuf)
+            dma(slot, q0).wait()
+            e = wl_at(q0)
             inst = einst_ref[e]
 
             @pl.when(inst >= 0)
@@ -1047,16 +1051,20 @@ def _traverse_any(i, wl_at, wtn_at, cnt_ref, boxes_ref, echunk_ref,
             any_hit = jnp.any(occluded, axis=1).astype(jnp.int32)
             hit_ref[0, 0, :] = hit_ref[0, 0, :] | any_hit
 
-            jn2 = next_pass(jn + 1)
-            return (it + 1, jn, jn2)
+            qn = next_pass(qrest[-1] + 1)
 
-        jax.lax.while_loop(cond, body, (0, j0, next_pass(j0 + 1)))
+            @pl.when(qn < n)
+            def _ptail():
+                dma(slot, qn).start()
+            return (it + 1,) + qrest + (qn,)
+
+        jax.lax.while_loop(cond, body, (0,) + tuple(q))
 
 
 def _kernel_any(cnt_ref, boxes_ref, echunk_ref, einst_ref, itrs_ref,
                 rays_ref, wl_hbm, wtn_hbm, tris_hbm, hit_ref, buf, rbuf,
                 wl_ref, wtn_ref, sem, wl_sem, wtn_sem, *, chunk: int,
-                rb: int, ncap: int):
+                rb: int, ncap: int, scan_w: int, nbuf: int):
     i = pl.program_id(0)
     wl_cp = pltpu.make_async_copy(wl_hbm.at[i], wl_ref, wl_sem)
     wtn_cp = pltpu.make_async_copy(wtn_hbm.at[i], wtn_ref, wtn_sem)
@@ -1073,12 +1081,13 @@ def _kernel_any(cnt_ref, boxes_ref, echunk_ref, einst_ref, itrs_ref,
 
     _traverse_any(i, wl_at, wtn_at, cnt_ref, boxes_ref, echunk_ref,
                   einst_ref, itrs_ref, rays_ref, tris_hbm, hit_ref, buf,
-                  rbuf, sem, chunk, rb)
+                  rbuf, sem, chunk, rb, scan_w, nbuf)
 
 
 def _kernel_any_smallwl(wl_ref, wtn_ref, cnt_ref, boxes_ref, echunk_ref,
                         einst_ref, itrs_ref, rays_ref, tris_hbm, hit_ref,
-                        buf, rbuf, sem, *, chunk: int, rb: int, ncap: int):
+                        buf, rbuf, sem, *, chunk: int, rb: int, ncap: int,
+                        scan_w: int, nbuf: int):
     i = pl.program_id(0)
     base = i * ncap
 
@@ -1090,7 +1099,7 @@ def _kernel_any_smallwl(wl_ref, wtn_ref, cnt_ref, boxes_ref, echunk_ref,
 
     _traverse_any(i, wl_at, wtn_at, cnt_ref, boxes_ref, echunk_ref,
                   einst_ref, itrs_ref, rays_ref, tris_hbm, hit_ref, buf,
-                  rbuf, sem, chunk, rb)
+                  rbuf, sem, chunk, rb, scan_w, nbuf)
 
 
 def _pad_wl(wl, wtn, nb, n_entries):
@@ -1134,7 +1143,9 @@ def _run_kernel(wl, wtn, cnt, boxes, echunk, einst, itrs, rays, tris, chunk,
         # Hot path for typical static scenes: the whole worklist rides the
         # scalar prefetch into SMEM, no per-block DMA stall.
         kernel = functools.partial(_kernel_smallwl, chunk=chunk, rb=rb,
-                                   ncap=n_entries)
+                                   ncap=n_entries,
+                                   scan_w=_scan_w_for(n_entries),
+                                   nbuf=_nbuf_for(n_entries))
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=7,
             grid=(nb,),
@@ -1144,9 +1155,10 @@ def _run_kernel(wl, wtn, cnt, boxes, echunk, einst, itrs, rays, tris, chunk,
             ],
             out_specs=out_specs,
             scratch_shapes=[
-                pltpu.VMEM((2, ROWS, _pad128(5 * chunk)), jnp.float32),
+                pltpu.VMEM((_nbuf_for(n_entries), ROWS, _pad128(5 * chunk)),
+                           jnp.float32),
                 pltpu.VMEM((ROWS, rb), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((_nbuf_for(n_entries),)),
             ],
         )
         return pl.pallas_call(
@@ -1157,7 +1169,9 @@ def _run_kernel(wl, wtn, cnt, boxes, echunk, einst, itrs, rays, tris, chunk,
         )(wl, wtn, cnt, boxes.reshape(-1), echunk, einst, itrs.reshape(-1),
           rays, tris)
     wl2, wtn2, ne_pad = _pad_wl(wl, wtn, nb, n_entries)
-    kernel = functools.partial(_kernel, chunk=chunk, rb=rb, ncap=ne_pad)
+    kernel = functools.partial(_kernel, chunk=chunk, rb=rb, ncap=ne_pad,
+                               scan_w=_scan_w_for(n_entries),
+                               nbuf=_nbuf_for(n_entries))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(nb,),
@@ -1169,11 +1183,12 @@ def _run_kernel(wl, wtn, cnt, boxes, echunk, einst, itrs, rays, tris, chunk,
         ],
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((2, ROWS, _pad128(5 * chunk)), jnp.float32),
+            pltpu.VMEM((_nbuf_for(n_entries), ROWS, _pad128(5 * chunk)),
+                           jnp.float32),
             pltpu.VMEM((ROWS, rb), jnp.float32),
             pltpu.SMEM((ne_pad // 128, 128), jnp.int32),
             pltpu.SMEM((ne_pad // 128, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((_nbuf_for(n_entries),)),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
@@ -1194,7 +1209,9 @@ def _run_kernel_any(wl, wtn, cnt, boxes, echunk, einst, itrs, rays, tris,
     nb = rays.shape[0]
     if nb * n_entries <= SMALL_WL_INTS:
         kernel = functools.partial(_kernel_any_smallwl, chunk=chunk, rb=rb,
-                                   ncap=n_entries)
+                                   ncap=n_entries,
+                                   scan_w=_scan_w_for(n_entries),
+                                   nbuf=_nbuf_for(n_entries))
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=7,
             grid=(nb,),
@@ -1204,9 +1221,10 @@ def _run_kernel_any(wl, wtn, cnt, boxes, echunk, einst, itrs, rays, tris,
             ],
             out_specs=[pl.BlockSpec((1, 1, rb), lambda i, *_: (i, 0, 0))],
             scratch_shapes=[
-                pltpu.VMEM((2, ROWS, _pad128(5 * chunk)), jnp.float32),
+                pltpu.VMEM((_nbuf_for(n_entries), ROWS, _pad128(5 * chunk)),
+                           jnp.float32),
                 pltpu.VMEM((ROWS, rb), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((_nbuf_for(n_entries),)),
             ],
         )
         return pl.pallas_call(
@@ -1217,7 +1235,9 @@ def _run_kernel_any(wl, wtn, cnt, boxes, echunk, einst, itrs, rays, tris,
         )(wl, wtn, cnt, boxes.reshape(-1), echunk, einst, itrs.reshape(-1),
           rays, tris)
     wl2, wtn2, ne_pad = _pad_wl(wl, wtn, nb, n_entries)
-    kernel = functools.partial(_kernel_any, chunk=chunk, rb=rb, ncap=ne_pad)
+    kernel = functools.partial(_kernel_any, chunk=chunk, rb=rb, ncap=ne_pad,
+                               scan_w=_scan_w_for(n_entries),
+                               nbuf=_nbuf_for(n_entries))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(nb,),
@@ -1229,11 +1249,12 @@ def _run_kernel_any(wl, wtn, cnt, boxes, echunk, einst, itrs, rays, tris,
         ],
         out_specs=[pl.BlockSpec((1, 1, rb), lambda i, *_: (i, 0, 0))],
         scratch_shapes=[
-            pltpu.VMEM((2, ROWS, _pad128(5 * chunk)), jnp.float32),
+            pltpu.VMEM((_nbuf_for(n_entries), ROWS, _pad128(5 * chunk)),
+                           jnp.float32),
             pltpu.VMEM((ROWS, rb), jnp.float32),
             pltpu.SMEM((ne_pad // 128, 128), jnp.int32),
             pltpu.SMEM((ne_pad // 128, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((_nbuf_for(n_entries),)),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
@@ -1302,6 +1323,15 @@ def _prefetch_tables(pt: PallasTris):
     return echunk, einst, itrs
 
 
+def _auto_rb(pt: PallasTris) -> int:
+    """Rays per kernel block. The traversal pays a ~0.8 us/entry floor
+    (TPU-swept, r5) that is flat for rb <= 128, so once worklists are long
+    (many entries - instanced/large scenes) smaller blocks with tighter
+    per-block unions win: rb=128 measured 14.6 ms vs 21.2 ms at rb=256 on
+    the grass scene. Small tables keep rb=256 (fewer, fuller blocks)."""
+    return 128 if pt.n_entries > 128 else RB
+
+
 def anyhit_pallas(
     geom: Geometry,
     pt: PallasTris,
@@ -1311,13 +1341,15 @@ def anyhit_pallas(
     tmax: Array | float = jnp.inf,
     active: Array | None = None,
     interpret: bool = False,
-    rb: int = RB,
+    rb: int | None = None,
     f: Array | None = None,
 ) -> Array:
     """Occlusion query (bool per ray): True if anything lies in [tmin, tmax].
     The shadow-ray path of Scene::testVisibility — cheaper than closest-hit
     (no per-triangle divide, no argmin)."""
     r = o.shape[0]
+    if rb is None:
+        rb = _auto_rb(pt)
     tmin_a, tmax_a = _ray_ranges(r, tmin, tmax, active)
     tmax_a = _scene_exit_clamp(o, d, tmax_a, pt.boxes)
     rays, _ = _pack_rays(o, d, tmin_a, tmax_a, rb, f=f)
@@ -1339,7 +1371,7 @@ def intersect_pallas(
     tmax: Array | float = jnp.inf,
     active: Array | None = None,
     interpret: bool = False,
-    rb: int = RB,
+    rb: int | None = None,
     f: Array | None = None,
     instances=None,
 ) -> Hit:
@@ -1348,6 +1380,8 @@ def intersect_pallas(
     scene's Instances rows so the winning lane's barycentrics are recovered
     against the LOCAL-space triangle."""
     r = o.shape[0]
+    if rb is None:
+        rb = _auto_rb(pt)
     tmin_a, tmax_a = _ray_ranges(r, tmin, tmax, active)
     tmax_a = _scene_exit_clamp(o, d, tmax_a, pt.boxes)
     rays, _ = _pack_rays(o, d, tmin_a, tmax_a, rb, f=f)
