@@ -252,11 +252,15 @@ def _generate_subpath(
     device profile showed every ablation (fake casts, fake gathers, null BSDF
     evals) leaving wall time unchanged. The scan traces the bounce body once.
 
-    Returns (steps, s0_info, zero_step, lobes) where `steps` is a Vertices
-    pytree with leading axis V (bounce-major), `s0_info` a tuple of stacked
-    (V, ...) arrays for the eye path (None for light paths), `zero_step` the
-    reverse-pdf update for the pre-loop vertex, and `lobes` the per-vertex
-    LobeBatch stacked (V, ...) for reuse by the connection stage. `f_time`
+    Returns (steps, s0_info, zero_step, lobes, alive) where `steps` is a
+    Vertices pytree with leading axis V (bounce-major), `s0_info` a tuple of
+    stacked (V, ...) arrays for the eye path (None for light paths),
+    `zero_step` the reverse-pdf update for the pre-loop vertex, `lobes` the
+    per-vertex LobeBatch stacked (V, ...) for reuse by the connection
+    stage, and `alive` (R,) bool — the subpath was still extending when it
+    hit the static vertex cap (the lane's estimate is cap-CLIPPED; the
+    reference's subpaths are RR-unbounded, BPT cpp:258-350, so callers
+    re-run clipped lanes at a deeper cap — render_bpt's tiers). `f_time`
     is the per-lane shutter fraction threaded through every cast (the
     reference samples one time per pixel sample and passes it to
     intersect/testVisibility, BPT cpp:104,126,148,201)."""
@@ -425,12 +429,14 @@ def _generate_subpath(
             lambda sh: jnp.zeros((0,) + sh.shape, sh.dtype), ys_sd)
         zero_step = (jnp.zeros((r,), bool), jnp.ones((r,), jnp.float32),
                      jnp.ones((r,), jnp.float32))
-        return steps, (s0_info if s0_info else None), zero_step, lobes
+        return (steps, (s0_info if s0_info else None), zero_step, lobes,
+                dir_pdf0 > 0)
 
     bounce_ids = jnp.uint32(bounce_offset) + jnp.arange(
         max_verts, dtype=jnp.uint32)
-    _, (steps, revs, s0_info, lobes) = jax.lax.scan(
+    carry_end, (steps, revs, s0_info, lobes) = jax.lax.scan(
         body, carry0, bounce_ids, unroll=unroll)
+    alive = carry_end[4]
 
     # Each bounce's reverse pdf/fs belongs to the PREVIOUS vertex
     # (vtxNextToLast, cpp:341-343): shift the rev stream back by one step.
@@ -447,7 +453,7 @@ def _generate_subpath(
     zero_step = (upd_s[0], rev_area_s[0], rev_rr_s[0])
     if not s0_info:
         s0_info = None
-    return steps, s0_info, zero_step, lobes
+    return steps, s0_info, zero_step, lobes, alive
 
 
 def _mis_weight_static(
@@ -516,7 +522,7 @@ def _mis_weight_static(
 
 
 @partial(jax.jit, static_argnames=("max_light_verts", "max_eye_verts",
-                                  "pid_contiguous"))
+                                  "pid_contiguous", "clip_at_cap"))
 def bpt_batch(
     scene: FlatScene,
     pixel_id: Array,
@@ -529,6 +535,7 @@ def bpt_batch(
     max_eye_verts: int = 8,
     pid_contiguous: bool = False,
     lane_mask: Array | None = None,
+    clip_at_cap: bool = False,
 ) -> Array:
     """One BPT sample pass for a pixel batch; scatter-adds contributions
     (including t=1 splats) into `film` (H*W, S) and returns it.
@@ -581,12 +588,16 @@ def bpt_batch(
     # triggered by per-strategy scatter-adds inside this graph.
     own_acc = [jnp.zeros((r, s_dim), jnp.float32)]
     splat_q: list = []
+    bank_cell = [None]   # set after subpath generation when clip_at_cap
 
     def film_add(film, pix_idx, contribution, valid, own: bool = True):
         if lane_mask is not None:
             # Splat batches may be an s-major tiling of the lane axis.
             valid = valid & jnp.tile(
                 lane_mask, valid.shape[0] // lane_mask.shape[0])
+        if bank_cell[0] is not None:
+            valid = valid & jnp.tile(
+                bank_cell[0], valid.shape[0] // bank_cell[0].shape[0])
         c = jnp.where(valid[:, None], contribution, 0.0)
         if own:
             own_acc[0] = own_acc[0] + c
@@ -716,7 +727,7 @@ def bpt_batch(
     )
     cos_o = jnp.where(is_env0, 1.0, jnp.abs(dot(l_ray_d, lp.gn)))
     l_alpha1 = l_v0.alpha * le1 * (cos_o / edf_pdf)[:, None]
-    l_steps, _, l_zero, l_lobes = _generate_subpath(
+    l_steps, _, l_zero, l_lobes, l_alive = _generate_subpath(
         scene, l_ray_o, l_ray_d, l_alpha1, edf_pdf, cos_first,
         jnp.zeros((r,), bool), l_ray_o, True, seed, pid_c, sample_id, hero,
         jnp.zeros((r,), bool), lambdas, max_light_verts - 1,
@@ -827,11 +838,21 @@ def bpt_batch(
     # rigid camera transform; the world-space form crashes the TPU backend
     # compiler — SIGILL in tpu_compile_helper — when fused into this graph).
     e_alpha1 = e_v0.alpha * (jnp.abs(z_l) / we_dir_pdf)[:, None]
-    e_steps, s0_info, e_zero, e_lobes = _generate_subpath(
+    e_steps, s0_info, e_zero, e_lobes, e_alive = _generate_subpath(
         scene, lens_p, e_ray_d, e_alpha1, we_dir_pdf, dir_local[..., 2],
         jnp.zeros((r,), bool), lens_p, False, seed, pid_c, sample_id, hero,
         jnp.zeros((r,), bool), lambdas, max_eye_verts - 1, 0, f_time=f_time,
     )
+    # A lane whose subpath was still extending at its static cap carries a
+    # cap-CLIPPED estimate (the reference truncates by RR only). With
+    # clip_at_cap, such lanes bank NOTHING here — the caller re-runs them
+    # at a deeper cap (same RNG keys reproduce the shallow prefix bit-
+    # exactly, so the deep run IS the lane's full estimate).
+    overflow = l_alive | e_alive
+    if lane_mask is not None:
+        overflow = overflow & lane_mask
+    if clip_at_cap:
+        bank_cell[0] = jnp.logical_not(overflow)
     upd, rev_area, rev_rr = e_zero
     e_v0 = e_v0._replace(
         rev_area_pdf=jnp.where(upd, rev_area, e_v0.rev_area_pdf),
@@ -859,10 +880,14 @@ def bpt_batch(
     # squared can produce inf * 0 = NaN, which emit_ok0 would not gate.
     w0 = jnp.where(jnp.isfinite(w0), w0, 0.0)
     c0 = contrib0 * w0[..., None]
-    if spectral:
-        # x N when the hero wavelength was collapsed (cpp:305-306); the
-        # 1/selectWLPDF lives in the eye vertex-0 alpha already.
-        c0 = jnp.where(wl_sel0[..., None], c0 * s_dim, c0)
+    # x N when the hero wavelength was collapsed (cpp:305-306); the
+    # 1/selectWLPDF lives in the eye vertex-0 alpha already. NOT spectral-
+    # gated: glass transmission collapses fs to the hero CHANNEL in RGB
+    # mode too (lobes.specular_scattering_sample), so the xN compensation
+    # must match — the old `if spectral` gate lost 2/3 of every refracted
+    # path's energy in RGB (glass_corridor: BPT/PT was 0.35; the reference
+    # build's own BPT/PT on the same scene is 0.98).
+    c0 = jnp.where(wl_sel0[..., None], c0 * s_dim, c0)
     c0 = jnp.where(emit_ok0[..., None], c0, 0.0).sum(axis=0)
     film = film_add(film, pid_c, c0, jnp.ones((r,), bool))
 
@@ -901,7 +926,10 @@ def bpt_batch(
                 ok.reshape(n_l * r),
                 own=False,
             )
-    return film_flush(film)
+    film = film_flush(film)
+    if clip_at_cap:
+        return film, overflow
+    return film
 
 
 def _connect_t(scene, lv, ev, t, hero, lambdas, spectral, s_dim,
@@ -1056,10 +1084,10 @@ def _connect_t(scene, lv, ev, t, hero, lambdas, spectral, s_dim,
 
     # wavelength collapse probability (cpp:194-196): a connection touching a
     # subpath that collapsed the hero wavelength carries 1/wlProb = N.
-    wl_prob_inv = 1.0
-    if spectral:
-        collapsed = lv.wl_flag | ev.wl_flag[ei][None]
-        wl_prob_inv = jnp.where(collapsed, float(s_dim), 1.0)
+    # Applies in RGB mode too (hero-CHANNEL collapse through glass; see the
+    # matching s0 site above).
+    collapsed = lv.wl_flag | ev.wl_flag[ei][None]
+    wl_prob_inv = jnp.where(collapsed, float(s_dim), 1.0)
     connection = l_ddf * (g * wl_prob_inv)[..., None] * e_ddf
     nonzero = jnp.any(connection != 0.0, axis=-1)
     # Visibility (Scene::testVisibility, SurfaceObject.cpp:417-429) is NOT
@@ -1156,12 +1184,30 @@ def render_bpt(
     height: int,
     spp: int,
     seed: int = 0,
-    max_light_verts: int = 8,
-    max_eye_verts: int = 8,
+    max_light_verts: int = 16,
+    max_eye_verts: int = 16,
     ray_batch: int | None = None,
     sample_offset: int = 0,
+    base_verts: int = 8,
+    deep_batch: int | None = None,
 ):
-    """Full-frame BPT render -> (H, W, 3) linear RGB mean radiance."""
+    """Full-frame BPT render -> (H, W, 3) linear RGB mean radiance.
+
+    Subpath depth is ADAPTIVE (the reference's subpaths are RR-unbounded,
+    BPT cpp:258-350; a flat static cap measurably clips transported energy
+    — BASELINE.md r4: ~75% lost on a 3-pane glass corridor at 8+8): every
+    lane first runs at `base_verts` caps; lanes whose subpaths were still
+    extending at the cap bank nothing and re-run, compacted into
+    `deep_batch`-lane batches, at the full `max_*_verts` caps. The
+    counter-based RNG reproduces the shallow prefix bit-exactly, so the
+    deep run IS that lane's estimate (no double counting, no bias); lanes
+    that died naturally below the cap are exact already. Cost scales with
+    the clipped FRACTION, so diffuse scenes pay ~nothing and specular-
+    chain scenes pay only for their deep lanes. Explicitly passing
+    max_*_verts <= base_verts restores the single-pass static-cap
+    behavior (used by depth-semantics tests)."""
+    import numpy as np
+
     from ..spectrum.spectral import NUM_STRATA, strata_to_rgb
 
     n_pix = width * height
@@ -1169,19 +1215,62 @@ def render_bpt(
     s_film = NUM_STRATA if spectral else scene.stex.value.shape[-1]
     batch = int(ray_batch or min(n_pix, 65536))
     n_batches = -(-n_pix // batch)
+    tiered = max(max_light_verts, max_eye_verts) > base_verts
 
     film = jnp.zeros((n_pix, s_film), jnp.float32)
     w_j = jnp.int32(width)
     h_j = jnp.int32(height)
     seed_j = jnp.uint32(seed)
+    deep_work = []   # (pass sample index, base offset, overflow device arr)
     for i in range(spp):
         for b in range(n_batches):
             pixel_id = jnp.arange(b * batch, (b + 1) * batch, dtype=jnp.uint32)
             sample_id = jnp.full((batch,), sample_offset + i, jnp.uint32)
-            film = bpt_batch(
+            if not tiered:
+                film = bpt_batch(
+                    scene, pixel_id, sample_id, seed_j, w_j, h_j, film,
+                    max_light_verts, max_eye_verts,
+                    pid_contiguous=(b + 1) * batch <= n_pix,
+                )
+                continue
+            film, overflow = bpt_batch(
                 scene, pixel_id, sample_id, seed_j, w_j, h_j, film,
-                max_light_verts, max_eye_verts,
+                base_verts, base_verts,
                 pid_contiguous=(b + 1) * batch <= n_pix,
+                clip_at_cap=True,
+            )
+            # Deep re-runs are deferred until every base pass is enqueued
+            # so the device pipeline never stalls on the host-side
+            # nonzero() of an overflow mask mid-stream.
+            deep_work.append((i, b * batch, overflow))
+
+    for i, base_off, overflow in deep_work:
+        idxs = base_off + np.nonzero(np.asarray(overflow))[0]
+        if len(idxs) == 0:
+            continue
+        if deep_batch is None:
+            # Smallest ladder size covering the clipped set (typically ~1%
+            # of lanes on diffuse-dominated scenes), so the deep pass costs
+            # ~its fair share; the ladder keeps the set of compiled
+            # deep-program shapes tiny.
+            db = next((n for n in (1024, 4096, 16384)
+                       if len(idxs) <= n), 65536)
+        else:
+            db = deep_batch
+        db = min(db, batch)
+        for c0 in range(0, len(idxs), db):
+            sel = idxs[c0:c0 + db]
+            pad = db - len(sel)
+            pix2 = jnp.asarray(
+                np.concatenate([sel.astype(np.uint32),
+                                np.zeros(pad, np.uint32)]))
+            mask2 = jnp.asarray(
+                np.concatenate([np.ones(len(sel), bool),
+                                np.zeros(pad, bool)]))
+            samp2 = jnp.full((db,), sample_offset + i, jnp.uint32)
+            film = bpt_batch(
+                scene, pix2, samp2, seed_j, w_j, h_j, film,
+                max_light_verts, max_eye_verts, lane_mask=mask2,
             )
     img = film / spp
     img = img.reshape(height, width, s_film)

@@ -158,6 +158,62 @@ def _finish_cornell_camera(b: SceneBuilder) -> None:
     )
 
 
+def glass_corridor(
+    n_panes: int = 3,
+    sphere_res: int = 8,
+    use_bvh: bool = True,
+) -> FlatScene:
+    """Cornell-style box with `n_panes` full-section glass slabs between the
+    camera and the far wall: every camera ray crosses 2*n_panes specular
+    interfaces before it can see anything diffuse, so most transport rides
+    paths of >= 2*n_panes + 3 vertices. This is the depth-semantics probe
+    scene (BASELINE.md r4: a static 8+8 BPT vertex cap clips ~75% of the
+    energy here) used to gate render_bpt's adaptive tiered caps against PT."""
+    b = SceneBuilder()
+    white = b.add_matte(b.add_stex_const((0.75, 0.75, 0.75)))
+    red = b.add_matte(b.add_stex_const((0.75, 0.25, 0.25)))
+    light_scatter = b.add_matte(b.add_stex_const((0.9, 0.9, 0.9)))
+    emit = b.add_stex_const((30.0, 30.0, 30.0))
+    light_mat = b.add_emitter(light_scatter, emit)
+
+    quads = [
+        (_quad((-1.5, 0, 2.55), (-1.5, 0, -2.55), (-1.5, 2.5, -2.55),
+               (-1.5, 2.5, 2.55), (1, 0, 0), (0, 0, -1)), red),
+        (_quad((1.5, 0, -2.55), (1.5, 0, 2.55), (1.5, 2.5, 2.55),
+               (1.5, 2.5, -2.55), (-1, 0, 0), (0, 0, 1)), red),
+        (_quad((-1.5, 0, 2.55), (1.5, 0, 2.55), (1.5, 0, -2.55),
+               (-1.5, 0, -2.55), (0, 1, 0), (1, 0, 0)), white),
+        (_quad((-1.5, 0, -2.55), (1.5, 0, -2.55), (1.5, 2.5, -2.55),
+               (-1.5, 2.5, -2.55), (0, 0, 1), (1, 0, 0)), white),
+        (_quad((-1.5, 2.5, -2.55), (1.5, 2.5, -2.55), (1.5, 2.5, 2.55),
+               (-1.5, 2.5, 2.55), (0, -1, 0), (1, 0, 0)), white),
+        # Light on the BACK wall so camera rays must cross every pane to
+        # see it (directly or indirectly).
+        (_quad((-0.6, 0.6, -2.54), (0.6, 0.6, -2.54), (0.6, 1.8, -2.54),
+               (-0.6, 1.8, -2.54), (0, 0, 1), (1, 0, 0)), light_mat),
+    ]
+    for (pos, nrm, tan, uv, tris), mat in quads:
+        b.add_mesh(pos, nrm, tan, uv, tris, mat)
+
+    coeff = b.add_stex_const((0.999, 0.999, 0.999))
+    eta_ext = b.add_stex_const((1.00036, 1.00021, 1.00071))
+    eta_int = b.add_stex_const((1.51, 1.516, 1.526))
+    glass_mat = b.add_glass(coeff, eta_ext, eta_int)
+    zs = np.linspace(1.2, -0.8, n_panes)
+    for z0 in zs:
+        for zq, nz in ((float(z0), 1.0), (float(z0) - 0.06, -1.0)):
+            pos, nrm, tan, uv, tris = _quad(
+                (-1.5, 0, zq), (1.5, 0, zq), (1.5, 2.5, zq), (-1.5, 2.5, zq),
+                (0, 0, nz), (1, 0, 0))
+            if nz < 0:
+                # flip winding so the geometric normal matches
+                tris = tris[:, ::-1]
+            b.add_mesh(pos, nrm, tan, uv, tris, glass_mat)
+
+    _finish_cornell_camera(b)
+    return b.build(use_bvh=use_bvh)
+
+
 def env_sphere_scene(
     env_image: np.ndarray | None = None,
     env_scale: float = 1.0,

@@ -248,3 +248,38 @@ class TestIncrementalMIS:
                 np.testing.assert_allclose(
                     np.asarray(got), np.asarray(ref), rtol=2e-5,
                     err_msg=f"s={s} t={t}")
+
+
+class TestGlassCorridor:
+    """Specular-slab transport (VERDICT r4 item 2): a full-section glass
+    pane between camera and scene routes ~all transport through refracted
+    paths. Gates two properties at the SHIPPED defaults:
+
+    * energy: BPT must agree with PT (the r4 code lost 2/3 of every
+      hero-collapsed path in RGB mode — the xN collapse compensation was
+      spectral-gated; the reference applies it unconditionally,
+      BPT cpp:194-196, 305-306);
+    * adaptive tiers: render_bpt's base->deep re-run must equal a flat
+      deep-cap render bit-near-exactly (same RNG keys reproduce the
+      shallow prefix, so tiering is pure scheduling).
+    """
+
+    def test_energy_matches_pt_at_defaults(self):
+        from slr_tpu.scene.presets import glass_corridor
+
+        sc = glass_corridor(n_panes=1)
+        pt = np.asarray(render(sc, 24, 18, spp=48, max_depth=24))
+        bpt = np.asarray(render_bpt(sc, 24, 18, spp=24))
+        assert np.isfinite(bpt).all()
+        ratio = bpt.mean() / pt.mean()
+        assert 0.8 < ratio < 1.25, ratio
+
+    def test_tiered_equals_flat_deep(self):
+        from slr_tpu.scene.presets import glass_corridor
+
+        sc = glass_corridor(n_panes=1)
+        tiered = np.asarray(render_bpt(sc, 16, 12, spp=2, base_verts=6,
+                                       max_light_verts=12, max_eye_verts=12))
+        flat = np.asarray(render_bpt(sc, 16, 12, spp=2, base_verts=12,
+                                     max_light_verts=12, max_eye_verts=12))
+        np.testing.assert_allclose(tiered, flat, rtol=2e-4, atol=1e-6)
