@@ -34,6 +34,11 @@ def main() -> None:
     ap.add_argument("--max-depth", type=int, default=100,
                 help="path cap; the reference PT caps at 100 with RR (PathTracingRenderer.cpp:160)")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    ap.add_argument("--scene-shard", action="store_true",
+                    help="partition the scene (chunk tables, shading rows, "
+                    "image atlas) by range across the device mesh instead "
+                    "of replicating it — for scenes exceeding one chip's "
+                    "HBM (PT only; requires >1 device)")
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="write a jax.profiler trace of the first pass to DIR")
     ap.add_argument("-v", "--verbose", action="store_true",
@@ -133,6 +138,16 @@ def main() -> None:
         if len(jax.devices()) > 1:
             from .parallel.mesh import make_mesh, render_wavefront_sharded
 
+            if args.scene_shard:
+                from .parallel.scene_shard import render_pt_scene_sharded
+
+                # The >HBM path: tables partitioned by range, fixed-depth
+                # estimator (sample_offset folds into the seed stream via
+                # per-sample ids starting at `offset`).
+                return np.asarray(render_pt_scene_sharded(
+                    scene, make_mesh(), width, height, spp=step,
+                    seed=rng_seed, sample_offset=offset,
+                    max_depth=min(args.max_depth, 16)))
             return np.asarray(render_wavefront_sharded(
                 scene, width, height, spp=step, mesh=make_mesh(),
                 seed=rng_seed, max_depth=args.max_depth,

@@ -289,5 +289,15 @@ def dryrun(n_devices: int) -> None:
     assert img_w.shape == (10, 20, 3)
     print(f"dryrun wavefront-sharded (spectral) ok; "
           f"mean={float(img_w.mean()):.5f}")
+
+    # Scene-sharded path (>HBM scenes): chunk tables, shading rows AND the
+    # image atlas partitioned by range; texels/rows psum-gathered.
+    from .scene_shard import render_pt_scene_sharded
+
+    img_ss = render_pt_scene_sharded(scene, mesh, 16, 12, spp=1,
+                                     max_depth=3)
+    jax.block_until_ready(img_ss)
+    assert img_ss.shape == (12, 16, 3)
+    print(f"dryrun scene-sharded PT ok; mean={float(jnp.asarray(img_ss).mean()):.5f}")
     print(f"dryrun_multichip ok on {n_devices} devices; "
           f"mean={float(img.mean()):.5f}")

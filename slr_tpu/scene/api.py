@@ -779,6 +779,15 @@ def _load_model(ctx: ApiContext, path: str, mat_proc) -> Node:
     from .presets import uv_sphere
 
     node = Node("model:" + path)
+    full0 = path if os.path.isabs(path) else os.path.join(ctx.base_dir, path)
+    if full0.endswith(".assbin") and os.path.exists(full0):
+        try:
+            return _load_assbin(ctx, full0, path, mat_proc)
+        except Exception as e:
+            import logging
+
+            logging.getLogger("slr_tpu").warning(
+                "assbin import of %s failed (%s); falling through", path, e)
     if "sphere" in os.path.basename(path):
         pos, nrm, tan, uv, tris = uv_sphere((0.0, 0.0, 0.0), 1.0, 32, 64)
         mesh = MeshNode("sphere")
@@ -837,6 +846,69 @@ def _load_model(ctx: ApiContext, path: str, mat_proc) -> Node:
     )
     node.add_child(mesh)
     return node
+
+
+def _load_assbin(ctx: ApiContext, full: str, path: str, mat_proc) -> Node:
+    """Assimp binary-dump import (node_constructor.cpp:35-105 semantics):
+    walk the node hierarchy accumulating transforms, emit one MeshNode per
+    (node, mesh) reference with the transform baked into vertices (the
+    reference bakes static transforms at flatten time anyway), generate
+    tangents when the dump lacks them, and resolve each mesh's material
+    through the DSL override callback with the material's name."""
+    from ..utils.assbin import read_assbin
+
+    sc = read_assbin(full)
+    root = Node("model:" + path)
+
+    def mat_for(mesh_idx: int, mat_idx: int):
+        name = (sc.material_names[mat_idx]
+                if 0 <= mat_idx < len(sc.material_names) else "")
+        return _apply_mat_proc(ctx, mat_proc,
+                               name or f"material{mat_idx}")
+
+    def walk(an, xform: np.ndarray):
+        m = xform @ np.asarray(an.transform, np.float32)
+        for mi in an.mesh_indices:
+            am = sc.meshes[mi]
+            v = am.positions @ m[:3, :3].T + m[:3, 3]
+            lin = m[:3, :3]
+            inv_t = np.linalg.inv(lin).T
+            if am.normals is not None:
+                nrm = am.normals @ inv_t.T
+            else:
+                nrm = np.zeros_like(v)
+                f = am.faces
+                fn = np.cross(v[f[:, 1]] - v[f[:, 0]], v[f[:, 2]] - v[f[:, 0]])
+                for k in range(3):
+                    np.add.at(nrm, f[:, k], fn)
+            nrm = nrm / np.maximum(
+                np.linalg.norm(nrm, axis=-1, keepdims=True), 1e-20)
+            if am.tangents is not None:
+                tan = am.tangents @ lin.T
+                tan = tan / np.maximum(
+                    np.linalg.norm(tan, axis=-1, keepdims=True), 1e-20)
+            else:
+                # generated tangents (aiProcess_CalcTangentSpace analogue):
+                # any frame orthogonal to the normal
+                up = np.where(np.abs(nrm[:, 1:2]) < 0.9,
+                              np.array([[0.0, 1.0, 0.0]], np.float32),
+                              np.array([[1.0, 0.0, 0.0]], np.float32))
+                tan = np.cross(up, nrm)
+                tan = tan / np.maximum(
+                    np.linalg.norm(tan, axis=-1, keepdims=True), 1e-20)
+            uv = (am.texcoords if am.texcoords is not None
+                  else np.zeros((v.shape[0], 2), np.float32))
+            mesh = MeshNode(f"{an.name}:mesh{mi}")
+            for i in range(v.shape[0]):
+                mesh.vertices.append(Vertex(v[i], nrm[i], tan[i], uv[i]))
+            mesh.add_group(mat_for(mi, am.material_index), None, None,
+                           [tuple(t) for t in np.asarray(am.faces)])
+            root.add_child(mesh)
+        for ch in an.children:
+            walk(ch, m)
+
+    walk(sc.root, np.eye(4, dtype=np.float32))
+    return root
 
 
 def _shell_material(name: str) -> "MaterialDesc":

@@ -27,15 +27,36 @@ def _wrap01(x: Array) -> Array:
     return jnp.where(f < 0, f + 1.0, f)
 
 
+# Distributed-atlas hook (parallel/scene_shard.py): when set, EVERY atlas
+# texel fetch — spectrum/float/normal textures, env map, alpha cutouts —
+# routes through it with the same (image_hw, image_id, u, v) arguments and
+# the `images` argument ignored (the traced scene carries an EMPTY atlas;
+# each device holds only its image range and texels psum-assemble).
+# Installed with try/finally around a sharded render; participates in
+# tracing, so callers must not reuse jit caches across override states.
+IMAGE_FETCH_OVERRIDE = None
+
+
 def _image_fetch(images: Array, image_hw: Array, image_id: Array, u: Array,
                  v: Array) -> Array:
     """Nearest-neighbor RGBA fetch from the stacked image atlas.
 
     images: (NI, Hmax, Wmax, 4); image_hw: (NI, 2); image_id/u/v: (R,).
     """
+    if IMAGE_FETCH_OVERRIDE is not None:
+        return IMAGE_FETCH_OVERRIDE(image_hw, image_id, u, v)
     if images.shape[0] == 0:
         return jnp.zeros(u.shape + (4,), jnp.float32)
-    iid = jnp.clip(image_id, 0, images.shape[0] - 1)
+    iid, py, px = texel_coords(image_hw, image_id, u, v, images.shape[0])
+    return images[iid, py, px]  # (R, 4)
+
+
+def texel_coords(image_hw: Array, image_id: Array, u: Array, v: Array,
+                 ni_total: int):
+    """(clamped image id, texel row, texel col) for a nearest-neighbor
+    fetch — shared by the local path and the sharded-atlas override so
+    both address identical texels."""
+    iid = jnp.clip(image_id, 0, ni_total - 1)
     hw = image_hw[iid]  # (R, 2)
     h = hw[..., 0]
     w = hw[..., 1]
@@ -43,7 +64,7 @@ def _image_fetch(images: Array, image_hw: Array, image_id: Array, u: Array,
     vv = _wrap01(v)
     px = jnp.minimum((uu * w.astype(jnp.float32)).astype(jnp.int32), w - 1)
     py = jnp.minimum((vv * h.astype(jnp.float32)).astype(jnp.int32), h - 1)
-    return images[iid, py, px]  # (R, 4)
+    return iid, py, px
 
 
 # ---------------------------------------------------------------------------

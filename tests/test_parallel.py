@@ -229,3 +229,72 @@ class TestSceneShardedRender:
         occ_r = np.asarray(scene_occluded(scene, o, d, 1e-4, 2.0))
         agree = (occ_s == occ_r).mean()
         assert agree > 0.995, agree
+
+
+class TestSceneShardedTextured:
+    """Round-5 widening (VERDICT r4 item 5): the scene-sharded render path
+    must cover image textures, alpha cutouts and normal maps — the texel
+    fetches ride the sharded atlas gather (textures.IMAGE_FETCH_OVERRIDE ->
+    scene_shard.fetch_texels_sharded) and the per-hit alpha/ntex ids ride
+    the range-sharded tri rows, so nothing texture-sized stays replicated."""
+
+    @staticmethod
+    def _textured_scene():
+        from slr_tpu.scene.build import SceneBuilder
+
+        b = SceneBuilder()
+        # image-textured back wall (checkerboard image)
+        img = np.zeros((8, 8, 3), np.float32)
+        img[::2, ::2] = (0.9, 0.4, 0.2)
+        img[1::2, 1::2] = (0.2, 0.6, 0.9)
+        wall_mat = b.add_matte(b.add_stex_image(b.add_image(img)))
+        pos = np.array([[-2, -2, -2], [2, -2, -2], [2, 2, -2], [-2, 2, -2]],
+                       np.float32)
+        nrm = np.tile([0.0, 0.0, 1.0], (4, 1)).astype(np.float32)
+        tan = np.tile([1.0, 0.0, 0.0], (4, 1)).astype(np.float32)
+        uv = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+        tris = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+        b.add_mesh(pos, nrm, tan, uv, tris, wall_mat)
+        # normal-mapped floor (image normal map, tilted normals)
+        nimg = np.full((4, 4, 3), 0.5, np.float32)
+        nimg[..., 2] = 0.9
+        nid = b.add_ntex_image(b.add_image(nimg))
+        fpos = np.array([[-2, -1.5, 0], [2, -1.5, 0], [2, -1.5, -2],
+                         [-2, -1.5, -2]], np.float32)
+        fnrm = np.tile([0.0, 1.0, 0.0], (4, 1)).astype(np.float32)
+        floor_mat = b.add_matte(b.add_stex_const((0.7, 0.7, 0.7)))
+        b.add_mesh(fpos, fnrm, tan, uv, tris, floor_mat, normal_ntex=nid)
+        # alpha-cutout front quad (half transparent via an alpha image)
+        aimg = np.zeros((4, 4, 4), np.float32)
+        aimg[:, 2:, 3] = 1.0     # left half alpha 0 -> cut out
+        aid = b.add_ftex_image(b.add_image(aimg), channel="alpha")
+        apos = np.array([[-1, -1, 1], [1, -1, 1], [1, 1, 1], [-1, 1, 1]],
+                        np.float32)
+        cut_mat = b.add_matte(b.add_stex_const((0.3, 0.8, 0.3)))
+        b.add_mesh(apos, nrm, tan, uv, tris, cut_mat, alpha_ftex=aid)
+        # small area light near the camera
+        emit = b.add_emitter(b.add_matte(b.add_stex_const((0.9,) * 3)),
+                             b.add_stex_const((25.0, 25.0, 25.0)))
+        lpos = np.array([[-0.4, 1.8, 2.5], [0.4, 1.8, 2.5],
+                         [0.4, 1.9, 2.4], [-0.4, 1.9, 2.4]], np.float32)
+        lnrm = np.tile([0.0, -1.0, 0.0], (4, 1)).astype(np.float32)
+        b.add_mesh(lpos, lnrm, tan, uv, tris, emit)
+        b.set_camera_perspective(
+            np.array([[1, 0, 0, 0], [0, 1, 0, 0.2], [0, 0, 1, 3.5],
+                      [0, 0, 0, 1]], np.float32), 1.0, 0.9)
+        return b.build(use_bvh=True)
+
+    def test_textured_alpha_normalmap_matches_replicated(self):
+        from slr_tpu.parallel.mesh import make_mesh
+        from slr_tpu.parallel.scene_shard import render_pt_scene_sharded
+        from slr_tpu.render.pt import render
+
+        scene = self._textured_scene()
+        assert scene.has_alpha and scene.has_normal_map
+        assert scene.stex.images.shape[0] >= 3
+        mesh = make_mesh(8)
+        w, h, spp = 16, 12, 2
+        sharded = np.asarray(render_pt_scene_sharded(
+            scene, mesh, w, h, spp=spp, seed=3, max_depth=3))
+        ref = np.asarray(render(scene, w, h, spp=spp, seed=3, max_depth=3))
+        np.testing.assert_allclose(sharded, ref, rtol=2e-4, atol=1e-5)
