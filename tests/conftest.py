@@ -47,3 +47,15 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 jax.config.update("jax_persistent_cache_enable_xla_caches",
                   "xla_gpu_per_fusion_autotune_cache_dir")
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Full-suite runs accumulate live compiled programs + their device
+    buffers across ~20 modules (observed >7 GB RSS) and the CPU XLA
+    runtime eventually segfaults inside the late PPM module; dropping the
+    in-process jit cache at module teardown keeps the footprint bounded
+    (recompiles hit the persistent cache above, so the time cost is
+    small)."""
+    yield
+    jax.clear_caches()

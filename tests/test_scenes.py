@@ -39,14 +39,21 @@ def test_scene_loads(name):
 
 
 def test_rtc3_instances_shared():
-    # RTC3 scatters grass/trees with createReferenceNode: the two-level
-    # structure must hold shared BLASes, not duplicated geometry.
+    # RTC3 scatters grass/trees with createReferenceNode. Since r4, STATIC
+    # instances are BAKED into world-space static geometry at scene build
+    # (the reference's own static-transform flattening, nodes.cpp:110-171)
+    # so the single Pallas kernel traverses them without per-ray
+    # transforms; only ANIMATED instances keep shared-BLAS
+    # (chunk, instance) rows — that sharing is asserted by
+    # test_instancing. Here: the scatter must have expanded into the
+    # static tables, all-static scenes carry no two-level remainder, and
+    # the scene renders.
     path = os.path.join(REF_SCENES, "RTC3.txt")
     if not os.path.exists(path):
         pytest.skip("reference scenes unavailable")
     scene, _, _ = load_scene(path, use_bvh=False)
-    assert scene.instances is not None
-    assert scene.instances.num >= 2
+    assert scene.geometry.num_tris > 10_000   # 60x60 scatter expanded
+    assert scene.instances is None            # all-static: fully baked
 
 
 def test_ibl_scene_renders():
