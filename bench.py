@@ -89,7 +89,9 @@ def main() -> None:
     rtc3_ksamples = gw * gh * gspp / (time.perf_counter() - t0) / 1e3
 
     # Secondary metric: BPT throughput on the same scene (all (s,t)
-    # strategies, 8x8 vertices; BidirectionalPathTracingRenderer.cpp).
+    # strategies at the shipped ADAPTIVE subpath caps: 8+8 base with
+    # cap-clipped lanes re-run at 16+16 — the energy-correct defaults;
+    # BidirectionalPathTracingRenderer.cpp).
     from slr_tpu.render.bpt import render_bpt
 
     bpt_spp = 8
